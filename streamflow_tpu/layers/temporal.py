@@ -1,0 +1,132 @@
+"""Temporal Attention Module (reference core/update.py:453-513).
+
+A zero-initialized ViT block applied along the T axis, treating each pixel's
+T-frame trajectory as a length-T token sequence. ``zero_module`` in the
+reference zeroes *every* parameter of the block (including LayerNorm scales),
+so the module is an exact identity at initialization; gradients flow because
+the residual adds see nonzero upstream signal.
+
+TPU note: T is 3 for the canonical T=4 model, so the attention is a tiny
+(T x T) matmul batched over B*H*W pixels — pure VPU/MXU batch work, no
+flash kernel needed. We keep the tokens in (B*H*W, T, C) layout only
+logically; physically the einsums below run on (B, H, W, T, C) to avoid
+reshuffling HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from streamflow_tpu.layers.common import Mlp, gelu  # noqa: F401 (gelu used by Mlp)
+
+
+def _zeros(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+class TinyAttention(nn.Module):
+    """timm-style self-attention (qkv no bias, out-proj with bias), heads=1,
+    zero-initialized. Operates on (..., T, C)."""
+
+    dim: int
+    num_heads: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        hd = d // self.num_heads
+        qkv_w = self.param("qkv_kernel", _zeros, (d, 3 * d))
+        proj_w = self.param("proj_kernel", _zeros, (d, d))
+        proj_b = self.param("proj_bias", _zeros, (d,))
+        dt = x.dtype
+        qkv = x @ qkv_w.astype(dt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = hd ** -0.5
+        attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dt)
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        out = out.reshape(x.shape)
+        return out @ proj_w.astype(dt) + proj_b.astype(dt)
+
+
+class ZeroMlp(nn.Module):
+    """Zero-initialized 2-layer MLP (timm Mlp with GELU)."""
+
+    dim: int
+    hidden: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        w1 = self.param("fc1_kernel", _zeros, (self.dim, self.hidden))
+        b1 = self.param("fc1_bias", _zeros, (self.hidden,))
+        w2 = self.param("fc2_kernel", _zeros, (self.hidden, self.dim))
+        b2 = self.param("fc2_bias", _zeros, (self.dim,))
+        dt = x.dtype
+        x = gelu(x @ w1.astype(dt) + b1.astype(dt))
+        return x @ w2.astype(dt) + b2.astype(dt)
+
+
+class ZeroLayerNorm(nn.Module):
+    """LayerNorm whose scale AND bias start at zero (an artifact of the
+    reference's zero_module blanket-zeroing; preserved for checkpoint
+    compatibility)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", _zeros, (x.shape[-1],))
+        bias = self.param("bias", _zeros, (x.shape[-1],))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm ViT block, fully zero-init (reference TransformerBlock wrapped
+    in zero_module, core/update.py:459-484 + :453-457). mlp_ratio=2."""
+
+    dim: int
+    num_heads: int = 1
+    mlp_ratio: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + TinyAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            ZeroLayerNorm(name="norm1")(x)
+        )
+        x = x + ZeroMlp(self.dim, self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp")(
+            ZeroLayerNorm(name="norm2")(x)
+        )
+        return x
+
+
+class TemporalLayer(nn.Module):
+    """Apply the zero-init transformer along T (reference TemporalLayer2,
+    core/update.py:502-513).
+
+    Input/output: (B, T, H, W, C) — each (b, h, w) pixel is a T-token sequence.
+    """
+
+    dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        tokens = x.transpose(0, 2, 3, 1, 4)  # (B, H, W, T, C)
+        tokens = TransformerBlock(self.dim, dtype=self.dtype, name="block")(tokens)
+        return tokens.transpose(0, 3, 1, 2, 4)

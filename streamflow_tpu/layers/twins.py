@@ -1,0 +1,279 @@
+"""Twins-SVT encoder, stages 1-2, with StreamFlow's temporal patch embedding
+(reference core/encoders/twins_csc.py + timm's public twins_svt_large).
+
+Architecture (twins_svt_large, truncated to stages 1-2 like the reference:
+core/encoders/twins_csc.py:52-58):
+  stage 1: patch 4, dim 128, depth 2, heads 4, mlp 4, sr 8, ws 7
+  stage 2: patch 2, dim 256, depth 2, heads 8, mlp 4, sr 4, ws 7
+Each stage: [LocallyGroupedAttn block, GlobalSubSampleAttn block], with the
+conditional position encoding (PosConv/PEG, depthwise 3x3 + residual) applied
+after the first block.
+
+The temporal trick (Twins_CSC, core/encoders/twins_csc.py:14-34): tokens from
+all T frames form ONE sequence laid out as an (H*T/ps, W/ps) grid — frames
+stacked along the height axis — so window attention mixes adjacent frames at
+window boundaries and the sub-sampled global attention spans all frames.
+
+TPU design notes:
+- Everything is (B, N, C) tokens with static (Ht, W) grid sizes, NHWC for the
+  convs; all matmuls are MXU-shaped (C in {128, 256}).
+- The GSA attention map is N x (N/sr^2); for 1080p inputs it dominates memory,
+  so ``chunk`` splits the query axis into VMEM-sized slabs under lax.map
+  (exact same math, bounded memory). A Pallas flash path can replace it later.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from streamflow_tpu.layers.common import Mlp, conv2d
+
+
+class TemporalPatchEmbed(nn.Module):
+    """Patch embedding over a T-frame clip producing one joint token sequence
+    (reference PatchEmbed, core/encoders/twins_csc.py:14-34).
+
+    (B, T, H, W, C_in) -> tokens (B, T*h*w, C), grid size (T*h, w).
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jax.Array, Tuple[int, int]]:
+        b, t, h, w, c = x.shape
+        ps = self.patch_size
+        x = x.reshape(b * t, h, w, c)
+        x = conv2d(self.embed_dim, ps, stride=ps, padding="VALID",
+                   dtype=self.dtype, name="proj")(x)
+        hp, wp = x.shape[1], x.shape[2]
+        x = x.reshape(b, t * hp * wp, self.embed_dim)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x, (t * hp, wp)
+
+
+class PosConv(nn.Module):
+    """Conditional position encoding (PEG): depthwise 3x3 conv + residual."""
+
+    dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, size):
+        b, n, c = x.shape
+        ht, w = size
+        feat = x.reshape(b, ht, w, c)
+        out = conv2d(self.dim, 3, padding=1, groups=self.dim,
+                     dtype=self.dtype, name="proj")(feat)
+        out = out + feat
+        return out.reshape(b, n, c)
+
+
+class LocallyGroupedAttn(nn.Module):
+    """Windowed MHA over non-overlapping ws x ws groups (timm
+    LocallyGroupedAttn). Zero-pads the grid to window multiples."""
+
+    dim: int
+    num_heads: int
+    ws: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, size):
+        b, n, c = x.shape
+        ht, w = size
+        ws = self.ws
+        nh = self.num_heads
+        hd = c // nh
+        x = x.reshape(b, ht, w, c)
+        pad_b = (ws - ht % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = ht + pad_b, w + pad_r
+        gh, gw = hp // ws, wp // ws
+
+        x = x.reshape(b, gh, ws, gw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, ws * ws, c)
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, gh * gw, ws * ws, 3, nh, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # (B, G, S, nh, hd) -> (B, G, nh, S, hd)
+        q = q.transpose(0, 1, 3, 2, 4) * (hd ** -0.5)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+        attn = jnp.einsum("bgnsd,bgntd->bgnst", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bgnst,bgntd->bgnsd", attn, v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, gh, gw, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+        out = out[:, :ht, :w]
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, n, c))
+        return out
+
+
+class GlobalSubSampleAttn(nn.Module):
+    """Global attention with sr_ratio-subsampled keys/values (timm
+    GlobalSubSampleAttn). ``chunk`` > 0 streams the query axis through
+    lax.map to bound the attention-map footprint at high resolution."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, size):
+        b, n, c = x.shape
+        ht, w = size
+        nh = self.num_heads
+        hd = c // nh
+
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+
+        if self.sr_ratio > 1:
+            feat = x.reshape(b, ht, w, c)
+            feat = conv2d(c, self.sr_ratio, stride=self.sr_ratio,
+                          padding="VALID", dtype=self.dtype, name="sr")(feat)
+            kvin = feat.reshape(b, -1, c)
+            kvin = nn.LayerNorm(dtype=self.dtype, name="norm")(kvin)
+        else:
+            kvin = x
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(kvin)
+        m = kv.shape[1]
+        kv = kv.reshape(b, m, 2, nh, hd)
+        k = kv[:, :, 0].transpose(0, 2, 1, 3)  # (B, nh, M, hd)
+        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+
+        def attend(qc):
+            a = jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+                           preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", a, v)
+
+        if self.chunk and n > self.chunk and n % self.chunk == 0:
+            qc = q.reshape(b, nh, n // self.chunk, self.chunk, hd)
+            qc = qc.transpose(2, 0, 1, 3, 4)  # (steps, B, nh, chunk, hd)
+            out = jax.lax.map(attend, qc)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, hd)
+        else:
+            out = attend(q)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class TwinsBlock(nn.Module):
+    """Pre-norm block: x + attn(LN(x)); x + mlp(LN(x)). ``ws=None`` selects
+    GSA, otherwise LGA with that window size."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    sr_ratio: int = 1
+    ws: Optional[int] = None
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, size):
+        if self.ws is None:
+            attn = GlobalSubSampleAttn(
+                self.dim, self.num_heads, self.sr_ratio, chunk=self.chunk,
+                dtype=self.dtype, name="attn")
+        else:
+            attn = LocallyGroupedAttn(
+                self.dim, self.num_heads, self.ws, dtype=self.dtype, name="attn")
+        x = x + attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), size)
+        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                    name="mlp")(nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        return x
+
+
+# twins_svt_large stage hyperparameters (stages 1-2 of 4).
+SVT_LARGE = dict(
+    embed_dims=(128, 256),
+    depths=(2, 2),
+    num_heads=(4, 8),
+    mlp_ratios=(4, 4),
+    sr_ratios=(8, 4),
+    patch_sizes=(4, 2),
+    ws=7,
+)
+
+
+class _TwinsStages(nn.Module):
+    """Shared stage runner. ``temporal=True`` keeps all T frames in one token
+    grid (Twins_CSC); ``temporal=False`` folds T into the batch (plain Twins,
+    reference core/encoders/twins.py:15-52)."""
+
+    temporal: bool = True
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+    cfg: dict = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg or SVT_LARGE
+        b, t = x.shape[0], x.shape[1]
+        if not self.temporal:
+            x = x.reshape(b * t, 1, *x.shape[2:])
+        for i in range(2):
+            dim = cfg["embed_dims"][i]
+            x, size = TemporalPatchEmbed(
+                cfg["patch_sizes"][i], dim, dtype=self.dtype,
+                name=f"patch_embed{i}")(x)
+            for j in range(cfg["depths"][i]):
+                ws = cfg["ws"] if j % 2 == 0 else None
+                x = TwinsBlock(
+                    dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
+                    cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
+                    dtype=self.dtype, name=f"stage{i}_block{j}")(x, size)
+                if j == 0:
+                    x = PosConv(dim, dtype=self.dtype, name=f"pos_block{i}")(x, size)
+            ht, w = size
+            tt = t if self.temporal else 1
+            h = ht // tt
+            # back to (B, T, h, w, C) for the next stage's patch embed
+            x = x.reshape(x.shape[0], tt, h, w, dim)
+        if not self.temporal:
+            x = x.reshape(b, t, *x.shape[2:])
+        return x
+
+
+class TwinsCSC(nn.Module):
+    """Twins_CSC: temporal-token-grid Twins-SVT-Large stages 1-2
+    (reference core/encoders/twins_csc.py:37-85).
+
+    (B, T, H, W, 3) -> (B, T, H/8, W/8, 256).
+    """
+
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _TwinsStages(temporal=True, chunk=self.chunk, dtype=self.dtype,
+                            name="stages")(x)
+
+
+class Twins(nn.Module):
+    """Plain per-frame Twins-SVT-Large stages 1-2 (reference
+    core/encoders/twins.py:15-52): no temporal mixing."""
+
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _TwinsStages(temporal=False, chunk=self.chunk, dtype=self.dtype,
+                            name="stages")(x)

@@ -1,0 +1,89 @@
+"""End-to-end model smoke tests: init + jit-compiled forward on tiny shapes
+(the automated analogue of the reference's __main__ smoke blocks, SURVEY §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamflow_tpu.config import StreamFlowConfig, RAFTConfig
+from streamflow_tpu.models import create_model
+
+# Tiny-but-structured shapes: H, W divisible by 8; 1/8-res dims stay >= 8 so
+# all 4 pyramid levels are non-degenerate.
+H, W, T = 64, 96, 4
+
+
+@pytest.fixture(scope="module")
+def sf_model_and_params():
+    cfg = StreamFlowConfig(T=T, iters=2, mixed_precision=False)
+    model = create_model("streamflow", cfg=cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, T, H, W, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), imgs, test_mode=True)
+    return model, params, imgs
+
+
+def test_streamflow_test_mode(sf_model_and_params):
+    model, params, imgs = sf_model_and_params
+    fwd = jax.jit(lambda p, x: model.apply(p, x, test_mode=True))
+    flows = fwd(params, imgs)
+    assert flows.shape == (1, T - 1, H, W, 2)
+    assert np.isfinite(np.asarray(flows)).all()
+
+
+def test_streamflow_train_mode_emits_per_iter(sf_model_and_params):
+    model, params, imgs = sf_model_and_params
+    preds = model.apply(params, imgs, iters=2)
+    assert preds.shape == (2, 1, T - 1, H, W, 2)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_streamflow_warm_start(sf_model_and_params):
+    model, params, imgs = sf_model_and_params
+    finit = jnp.zeros((1, T - 1, H // 8, W // 8, 2))
+    flows, lowres = model.apply(params, imgs, test_mode=True, flow_init=finit)
+    assert flows.shape == (1, T - 1, H, W, 2)
+    assert lowres.shape == (1, T - 1, H // 8, W // 8, 2)
+
+
+def test_raft_forward():
+    cfg = RAFTConfig(iters=2, mixed_precision=False)
+    model = create_model("raft", cfg=cfg)
+    rng = np.random.default_rng(1)
+    im1 = jnp.asarray(rng.integers(0, 255, (1, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.integers(0, 255, (1, H, W, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), im1, im2, test_mode=True)
+    lowres, up = model.apply(params, im1, im2, test_mode=True)
+    assert up.shape == (1, H, W, 2)
+    assert lowres.shape == (1, H // 8, W // 8, 2)
+
+
+def test_zero_init_temporal_block_is_identity():
+    """zero_module semantics (reference core/update.py:453-457): at init the
+    temporal transformer must be an exact identity."""
+    from streamflow_tpu.layers.temporal import TemporalLayer
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 3, 4, 5, 16)),
+                    dtype=jnp.float32)
+    layer = TemporalLayer(dim=16)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_gma_aggregate_zero_gamma_is_identity():
+    """gamma starts at zero (core/gma.py:84): aggregate(attn, x) == x at init."""
+    from streamflow_tpu.layers.gma import GMAAttention, GMAAggregate
+
+    rng = np.random.default_rng(3)
+    fmap = jnp.asarray(rng.standard_normal((2, 6, 7, 16)), dtype=jnp.float32)
+    att = GMAAttention(heads=1, dim_head=16)
+    ap = att.init(jax.random.PRNGKey(1), fmap)
+    attn = att.apply(ap, fmap)
+    agg = GMAAggregate(heads=1, dim_head=16)
+    gp = agg.init(jax.random.PRNGKey(2), attn, fmap)
+    out = agg.apply(gp, attn, fmap)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(fmap))
