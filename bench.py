@@ -1,0 +1,66 @@
+"""Headline benchmark: StreamFlow inference throughput on the BASELINE.json
+config — Sintel 436x1024 (padded 440x1024), T=4, 12 GRU iterations, bf16,
+single chip. Prints one JSON line.
+
+``vs_baseline`` is measured fps divided by the north-star target
+(5x the estimated A100 reference throughput; see BASELINE.md — the reference
+repo publishes no numbers, and no GPU exists in this environment to measure
+it, so the A100 figure is an engineering estimate recorded there).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated PyTorch reference on A100: ~15 clips/s (~60 frames/s) at
+# 436x1024, T=4, 12 iters with fp16 autocast + flash-attn. See BASELINE.md.
+EST_A100_FRAMES_PER_SEC = 60.0
+TARGET = 5.0 * EST_A100_FRAMES_PER_SEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.ops.padding import InputPadder
+
+    B, T, H, W = 1, 4, 436, 1024
+    cfg = StreamFlowConfig(T=T, iters=12, mixed_precision=True)
+    model = create_model("streamflow", cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)), dtype=jnp.float32)
+    padder = InputPadder((H, W, 3), mode="sintel")
+    imgs = padder.pad(imgs.reshape(B * T, H, W, 3)).reshape(
+        B, T, *padder.padded_shape, 3
+    )
+
+    params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
+        jax.random.PRNGKey(0), imgs
+    )
+    fwd = jax.jit(lambda p, x: model.apply(p, x, test_mode=True))
+
+    # Warmup/compile.
+    jax.block_until_ready(fwd(params, imgs))
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fwd(params, imgs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    frames_per_sec = B * T / dt
+    print(json.dumps({
+        "metric": "streamflow_sintel_436x1024_T4_12iters_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_sec / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Host-side input pipeline: shuffled, prefetching batch loader over a
+ClipDataset/MixedDataset (replacing torch DataLoader: workers=8, shuffle,
+drop_last — reference core/mf_datasets.py:1453-1454).
+
+Each worker owns an explicitly seeded np.random.Generator (epoch- and
+index-dependent), so augmentation is reproducible regardless of worker
+scheduling — unlike the reference, which seeds global RNGs per worker once
+(core/mf_datasets.py:170-177).
+
+The loader overlaps disk+augmentation with device compute via a thread pool
+(cv2/PIL release the GIL) and a bounded prefetch queue of device-ready
+numpy batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, drop_last: bool = True,
+                 seed: int = 0, prefetch: int = 4):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield batches {'images','flows','valids'} stacked on axis 0."""
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        nb = len(self)
+
+        def load_one(flat_idx: int):
+            idx = int(order[flat_idx])
+            rng = np.random.default_rng(
+                (self.seed, epoch, flat_idx, 0x5F3759DF))
+            return self.ds.load(idx, rng)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.bs
+                    samples = list(pool.map(load_one, range(lo, lo + self.bs)))
+                    batch = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in ("images", "flows", "valids")
+                    }
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)

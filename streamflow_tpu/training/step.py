@@ -1,0 +1,79 @@
+"""The jit-compiled training step, sharded over the device mesh.
+
+Replaces the reference's per-step DataParallel scatter/replicate/gather
+(train_mf.py:146,224-257): here the batch is sharded over the mesh's 'data'
+axis, params are replicated, and XLA emits one gradient all-reduce over ICI.
+Loss math follows train_mf.py:240-257 (per-frame sequence loss, grad-clip 1.0,
+AdamW + OneCycle inside the optax chain).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from streamflow_tpu.training.loss import sequence_loss
+from streamflow_tpu.training.state import TrainState
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.8,
+    iters: int = 12,
+    kitti_last_pair_only: bool = False,
+):
+    """Returns step(state, batch) -> (state, metrics).
+
+    batch: {"images": (B,T,H,W,3), "flows": (B,F,H,W,2), "valids": (B,F,H,W)}.
+    For the kitti stage the reference supervises only the final frame pair
+    (train_mf.py:240-241).
+    """
+
+    def loss_fn(params, batch):
+        preds = model.apply(params, batch["images"], iters=iters, train=True)
+        flows, valids = batch["flows"], batch["valids"]
+        if kitti_last_pair_only:
+            preds = preds[:, :, -1:]
+            flows = flows[:, -1:]
+            valids = valids[:, -1:]
+        total = 0.0
+        metrics = {}
+        f = flows.shape[1]
+        # Per-frame-pair sequence loss, summed (train_mf.py:243-249).
+        for i in range(f):
+            li, mi = sequence_loss(preds[:, :, i], flows[:, i], valids[:, i], gamma)
+            total = total + li
+            if i == 0:
+                metrics = mi
+        return total, metrics
+
+    def step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return step
+
+
+def shard_train_step(step_fn, mesh: Mesh):
+    """jit the step with params replicated and batch sharded over 'data'."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -22,7 +22,11 @@ def sf_model_and_params():
     imgs = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (1, T, H, W, 3)).astype(np.float32)
     )
-    params = model.init(jax.random.PRNGKey(0), imgs, test_mode=True)
+    # init must be jitted: eager op-by-op dispatch is pathologically slow in
+    # this environment (each op compiles separately).
+    params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
+        jax.random.PRNGKey(0), imgs
+    )
     return model, params, imgs
 
 
@@ -55,8 +59,12 @@ def test_raft_forward():
     rng = np.random.default_rng(1)
     im1 = jnp.asarray(rng.integers(0, 255, (1, H, W, 3)).astype(np.float32))
     im2 = jnp.asarray(rng.integers(0, 255, (1, H, W, 3)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), im1, im2, test_mode=True)
-    lowres, up = model.apply(params, im1, im2, test_mode=True)
+    params = jax.jit(lambda k, a, b: model.init(k, a, b, test_mode=True))(
+        jax.random.PRNGKey(0), im1, im2
+    )
+    lowres, up = jax.jit(lambda p, a, b: model.apply(p, a, b, test_mode=True))(
+        params, im1, im2
+    )
     assert up.shape == (1, H, W, 2)
     assert lowres.shape == (1, H // 8, W // 8, 2)
 
