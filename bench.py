@@ -41,17 +41,29 @@ def main():
     params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
         jax.random.PRNGKey(0), imgs
     )
-    fwd = jax.jit(lambda p, x: model.apply(p, x, test_mode=True))
 
-    # Warmup/compile.
-    jax.block_until_ready(fwd(params, imgs))
-
+    # The TPU sits behind a high-latency tunnel (~25ms RTT), so per-call host
+    # timing is useless. Run the repetition loop on-device under one jit: each
+    # iteration's input depends on the previous output (defeats any relay
+    # caching/overlap), and a single scalar comes back at the end.
     n_rep = 10
+
+    def one(carry, _):
+        flows = model.apply(params, imgs + carry, test_mode=True)
+        return jnp.mean(flows) * 1e-9, None
+
+    @jax.jit
+    def loop(z):
+        out, _ = jax.lax.scan(one, z, None, length=n_rep)
+        return out
+
+    # Warmup/compile, then fetch the scalar (forces full execution).
+    float(loop(jnp.float32(0.0)))
+
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fwd(params, imgs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_rep
+    r = float(loop(jnp.float32(1e-6)))
+    total = time.perf_counter() - t0
+    dt = total / n_rep
 
     frames_per_sec = B * T / dt
     print(json.dumps({
@@ -59,6 +71,8 @@ def main():
         "value": round(frames_per_sec, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec / TARGET, 4),
+        "ms_per_clip": round(1e3 * dt, 2),
+        "check": r,
     }))
 
 

@@ -1,0 +1,58 @@
+"""Flash attention: streaming XLA implementation vs naive reference, plus the
+Pallas TPU kernel in interpret mode (runs the real kernel logic on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamflow_tpu.ops.pallas.attention import _flash_xla, flash_attention
+
+RNG = np.random.default_rng(0)
+
+
+def naive(q, k, v):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("nq,nk", [(64, 64), (100, 260)])
+def test_flash_xla_matches_naive(nq, nk):
+    b, h, d = 2, 2, 32
+    q = jnp.asarray(RNG.standard_normal((b, h, nq, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    got = _flash_xla(q, k, v, kv_chunk=64)
+    want = naive(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_entrypoint_applies_scale():
+    b, h, n, d = 1, 1, 48, 16
+    q = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    got = flash_attention(q, k, v, scaled=False)
+    want = naive(q * d ** -0.5, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the actual Pallas kernel body via the interpreter on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from streamflow_tpu.ops.pallas import _attention_kernel as ak
+
+    b, h, nq, nk, d = 1, 1, 256, 384, 128
+    q = jnp.asarray(RNG.standard_normal((b, h, nq, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = ak.flash_attention_tpu(q, k, v, block_q=128, block_k=128)
+    want = naive(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
