@@ -1,0 +1,130 @@
+"""Dataset-index and loading semantics on synthetic on-disk fixtures:
+window construction (stride, tail dedup markers), KITTI GT flags, mixing."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from streamflow_tpu.data import frame_utils
+from streamflow_tpu.data.mf_datasets import (
+    KITTIMultiFrame,
+    KITTIMultiFrameEval,
+    MixedDataset,
+    SintelMultiframe,
+    SintelMultiframeEval,
+)
+
+H, W = 24, 32
+
+
+def _write_png(path, rng):
+    Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(path)
+
+
+@pytest.fixture(scope="module")
+def sintel_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sintel")
+    rng = np.random.default_rng(0)
+    for scene, n in [("alley_1", 7), ("ambush_2", 5)]:
+        for ds in ["clean", "final"]:
+            d = root / "training" / ds / scene
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                _write_png(d / f"frame_{i + 1:04d}.png", rng)
+        fd = root / "training" / "flow" / scene
+        fd.mkdir(parents=True, exist_ok=True)
+        for i in range(n - 1):
+            frame_utils.write_flo(
+                fd / f"frame_{i + 1:04d}.flo",
+                rng.standard_normal((H, W, 2)).astype(np.float32))
+    return str(root)
+
+
+def test_sintel_train_windows_stride1(sintel_root):
+    ds = SintelMultiframe(None, root=sintel_root, dstype="clean", nframes=4)
+    # alley_1: 7 frames -> windows at 0,1,2,3 (4); ambush_2: 5 -> 2
+    assert len(ds) == 4 + 2
+    s = ds.load(0)
+    assert s["images"].shape == (4, H, W, 3)
+    assert s["flows"].shape == (3, H, W, 2)
+    assert s["valids"].shape == (3, H, W)
+    assert (s["valids"] == 1).all()
+
+
+def test_sintel_eval_windows_stride3_dedup(sintel_root):
+    ds = SintelMultiframeEval(None, split="training", root=sintel_root,
+                              dstype="clean", nframes=4)
+    # alley_1 (7): windows at 0, 3 -> covers frames 0-6, no tail
+    # ambush_2 (5): windows at 0, then tail at 1 with first 2 pairs dup-marked
+    recs = [r for r in ds.records if "alley_1" in r.scene]
+    assert len(recs) == 2
+    assert recs[1].frame_ids == (3, 4, 5, 6)
+    recs2 = [r for r in ds.records if "ambush_2" in r.scene]
+    assert len(recs2) == 2
+    assert recs2[0].frame_ids == (0, 1, 2, 3)
+    assert recs2[1].frame_ids == (-1, -1, 3, 4)
+
+
+def test_sintel_augmented_load(sintel_root):
+    aug = {"crop_size": (16, 24), "min_scale": -0.2, "max_scale": 0.4,
+           "do_flip": True}
+    ds = SintelMultiframe(aug, root=sintel_root, dstype="final", nframes=4)
+    s = ds.load(1, np.random.default_rng(3))
+    assert s["images"].shape == (4, 16, 24, 3)
+    assert s["flows"].shape == (3, 16, 24, 2)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("multi-kitti")
+    rng = np.random.default_rng(1)
+    img_d = root / "training" / "image_2"
+    flow_d = root / "training" / "flow_occ"
+    img_d.mkdir(parents=True)
+    flow_d.mkdir(parents=True)
+    for seq in range(3):
+        for i in range(8, 13):  # multi-kitti carries frames around keyframe 10
+            _write_png(img_d / f"{seq:06d}_{i:02d}.png", rng)
+        frame_utils.write_flow_kitti(
+            flow_d / f"{seq:06d}_10.png",
+            rng.standard_normal((H, W, 2)).astype(np.float32) * 3)
+    return str(root)
+
+
+def _trim_kitti(ds, n=3):
+    ds.records = [r for r in ds.records if int(r.scene[:6]) < n]
+    return ds
+
+
+def test_kitti_t4_gt_flags(kitti_root):
+    ds = _trim_kitti(KITTIMultiFrame(kitti_root, "training", None, nframes=4,
+                                     t4=True))
+    assert len(ds) == 3
+    rec = ds.records[0]
+    assert rec.frame_ids == (9, 10, 11, 12)
+    assert rec.has_gt == (False, True, False)  # only 10->11 supervised
+    s = ds.load(0)
+    assert (s["valids"][0] == 0).all()
+    assert s["valids"][1].sum() > 0
+    assert (s["valids"][2] == 0).all()
+
+
+def test_kitti_eval_final_pair_only(kitti_root):
+    ds = _trim_kitti(KITTIMultiFrameEval(kitti_root, "training", nframes=4))
+    s = ds.load(1)
+    assert s["images"].shape == (4, H, W, 3)
+    assert (s["valids"][0] == 0).all() and (s["valids"][1] == 0).all()
+    assert s["valids"][2].sum() > 0
+
+
+def test_mixed_dataset_replication(sintel_root, kitti_root):
+    a = SintelMultiframe(None, root=sintel_root, dstype="clean", nframes=4)
+    b = _trim_kitti(KITTIMultiFrame(kitti_root, "training", None, nframes=4,
+                                    t4=True))
+    mix = MixedDataset([(a, 10), (b, 1)])
+    assert len(mix) == 10 * len(a) + len(b)
+    s = mix.load(len(a) * 10)  # first kitti record
+    assert s["frame_ids"][0] == 9
