@@ -174,7 +174,15 @@ class GlobalSubSampleAttn(nn.Module):
 
 class TwinsBlock(nn.Module):
     """Pre-norm block: x + attn(LN(x)); x + mlp(LN(x)). ``ws=None`` selects
-    GSA, otherwise LGA with that window size."""
+    GSA, otherwise LGA with that window size.
+
+    ``temporal`` hooks reproduce the ablation encoders:
+    - "1dconv": dirac-init temporal Conv1d on the MLP branch output
+      (reference core/encoders/twins_1dconv.py:15-46)
+    - "attn": zero-init temporal self-attention before spatial attention
+      (reference core/encoders/twins_temporal_attention.py:15-64)
+    Both operate on per-pixel T-token sequences; ``t`` is the frame count
+    (tokens laid out as (B*T, h*w, C))."""
 
     dim: int
     num_heads: int
@@ -182,10 +190,32 @@ class TwinsBlock(nn.Module):
     sr_ratio: int = 1
     ws: Optional[int] = None
     chunk: int = 0
+    temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, size):
+    def __call__(self, x, size, t: int = 1):
+        bt, n, c = x.shape
+        ht, w = size
+
+        def to_time(tok):  # (B*T, N, C) -> (B, N, T, C)
+            return tok.reshape(bt // t, t, n, c).transpose(0, 2, 1, 3)
+
+        def from_time(tok):
+            return tok.transpose(0, 2, 1, 3).reshape(bt, n, c)
+
+        if self.temporal == "attn":
+            from streamflow_tpu.layers.temporal import TinyAttention
+
+            tok = to_time(nn.LayerNorm(dtype=self.dtype, name="norm0")(x))
+            tattn = TinyAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                  name="temporal_attn")(tok)
+            # zero-init projection gates the branch (reference temporal_fc)
+            gate = nn.Dense(self.dim, kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.dtype, name="temporal_fc")(tattn)
+            x = x + from_time(gate)
+
         if self.ws is None:
             attn = GlobalSubSampleAttn(
                 self.dim, self.num_heads, self.sr_ratio, chunk=self.chunk,
@@ -194,8 +224,21 @@ class TwinsBlock(nn.Module):
             attn = LocallyGroupedAttn(
                 self.dim, self.num_heads, self.ws, dtype=self.dtype, name="attn")
         x = x + attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), size)
-        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
-                    name="mlp")(nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+
+        mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                      name="mlp")(nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        if self.temporal == "1dconv":
+            # dirac-init temporal conv (identity at init) over the T axis
+            def dirac(key, shape, dtype=jnp.float32):
+                k_, _, o = shape
+                w_ = jnp.zeros(shape, dtype)
+                return w_.at[k_ // 2, jnp.arange(o) % shape[1], jnp.arange(o)].set(1.0)
+
+            tok = to_time(mlp_out).reshape(-1, t, c)
+            tok = nn.Conv(self.dim, (3,), padding=1, kernel_init=dirac,
+                          dtype=self.dtype, name="temporal_conv")(tok)
+            mlp_out = from_time(tok.reshape(bt // t, n, t, c))
+        x = x + mlp_out
         return x
 
 
@@ -214,10 +257,12 @@ SVT_LARGE = dict(
 class _TwinsStages(nn.Module):
     """Shared stage runner. ``temporal=True`` keeps all T frames in one token
     grid (Twins_CSC); ``temporal=False`` folds T into the batch (plain Twins,
-    reference core/encoders/twins.py:15-52)."""
+    reference core/encoders/twins.py:15-52), optionally with per-block
+    temporal hooks (``block_temporal``)."""
 
     temporal: bool = True
     chunk: int = 0
+    block_temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
     cfg: dict = None
 
@@ -227,6 +272,9 @@ class _TwinsStages(nn.Module):
         b, t = x.shape[0], x.shape[1]
         if not self.temporal:
             x = x.reshape(b * t, 1, *x.shape[2:])
+        # per-block temporal hooks need the true frame count even though T is
+        # folded into the batch axis
+        t_blocks = t if (not self.temporal and self.block_temporal != "none") else 1
         for i in range(2):
             dim = cfg["embed_dims"][i]
             x, size = TemporalPatchEmbed(
@@ -237,7 +285,9 @@ class _TwinsStages(nn.Module):
                 x = TwinsBlock(
                     dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
                     cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
-                    dtype=self.dtype, name=f"stage{i}_block{j}")(x, size)
+                    temporal=self.block_temporal,
+                    dtype=self.dtype, name=f"stage{i}_block{j}",
+                )(x, size, t=t_blocks)
                 if j == 0:
                     x = PosConv(dim, dtype=self.dtype, name=f"pos_block{i}")(x, size)
             ht, w = size
@@ -277,3 +327,54 @@ class Twins(nn.Module):
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk, dtype=self.dtype,
                             name="stages")(x)
+
+
+class Twins1DConv(nn.Module):
+    """Per-frame SVT with a dirac-init depth-3 temporal Conv1d on each MLP
+    branch (reference core/encoders/twins_1dconv.py:50-120)."""
+
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _TwinsStages(temporal=False, chunk=self.chunk,
+                            block_temporal="1dconv", dtype=self.dtype,
+                            name="stages")(x)
+
+
+class TwinsTemporalAttention(nn.Module):
+    """Per-frame SVT with zero-init temporal self-attention before each
+    spatial attention (reference core/encoders/twins_temporal_attention.py)."""
+
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _TwinsStages(temporal=False, chunk=self.chunk,
+                            block_temporal="attn", dtype=self.dtype,
+                            name="stages")(x)
+
+
+class Twins3DConv(nn.Module):
+    """Plain per-frame SVT + a single dirac-init 3x3x3 Conv over (T, H, W) at
+    the end (reference core/encoders/twins_3dconv.py:16-70)."""
+
+    chunk: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = _TwinsStages(temporal=False, chunk=self.chunk, dtype=self.dtype,
+                         name="stages")(x)
+
+        def dirac(key, shape, dtype=jnp.float32):
+            kt, kh, kw, i, o = shape
+            w_ = jnp.zeros(shape, dtype)
+            return w_.at[kt // 2, kh // 2, kw // 2,
+                         jnp.arange(o) % i, jnp.arange(o)].set(1.0)
+
+        res = nn.Conv(y.shape[-1], (3, 3, 3), padding=1, kernel_init=dirac,
+                      dtype=self.dtype, name="temporal_conv")(y)
+        return y + res

@@ -33,17 +33,32 @@ from streamflow_tpu.ops.coords import coords_grid
 from streamflow_tpu.ops.corr import CorrPyramid
 from streamflow_tpu.ops.upsample import convex_upsample
 from streamflow_tpu.layers.gma import GMAAttention
-from streamflow_tpu.layers.twins import TwinsCSC, Twins
+from streamflow_tpu.layers.twins import (
+    Twins,
+    Twins1DConv,
+    Twins3DConv,
+    TwinsCSC,
+    TwinsTemporalAttention,
+)
 from streamflow_tpu.layers.basic_encoder import BasicEncoder
 from streamflow_tpu.layers.update import SKUpdateBlockTAMv3
 
+_TWINS_VARIANTS = {
+    "twins_csc": TwinsCSC,
+    "twins": Twins,
+    "twins_1dconv": Twins1DConv,
+    "twins_temporal_attention": TwinsTemporalAttention,
+    "twins_3dconv": Twins3DConv,
+}
+
 
 def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str):
-    if cfg.encoder == "twins_csc":
-        return TwinsCSC(chunk=cfg.gsa_chunk, dtype=dtype, name=name)
-    if cfg.encoder == "twins":
-        return Twins(chunk=cfg.gsa_chunk, dtype=dtype, name=name)
-    if cfg.encoder == "basic":
+    if cfg.encoder in _TWINS_VARIANTS:
+        return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk, dtype=dtype,
+                                            name=name)
+    if cfg.encoder in ("basic", "resnet18"):
+        # reference ResNet18 encoder (core/encoders/resnet18.py:119-187) is
+        # the RAFT CNN lifted over T with output_dim=256
         return _PerFrameBasicEncoder(output_dim=256, norm_fn=norm_fn,
                                      dtype=dtype, name=name)
     raise ValueError(f"unknown encoder '{cfg.encoder}'")

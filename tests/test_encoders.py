@@ -1,0 +1,58 @@
+"""Encoder variants: output shapes + identity-at-init of temporal hooks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamflow_tpu.layers.twins import (
+    Twins,
+    Twins1DConv,
+    Twins3DConv,
+    TwinsCSC,
+    TwinsTemporalAttention,
+)
+from streamflow_tpu.layers.basic_encoder import BasicEncoder
+
+RNG = np.random.default_rng(0)
+B, T, H, W = 1, 3, 32, 48
+
+
+def _run(enc, x):
+    p = jax.jit(lambda k, a: enc.init(k, a))(jax.random.PRNGKey(0), x)
+    return p, np.asarray(jax.jit(lambda p_, a: enc.apply(p_, a))(p, x))
+
+
+@pytest.mark.parametrize("cls", [TwinsCSC, Twins, Twins1DConv,
+                                 TwinsTemporalAttention, Twins3DConv])
+def test_twins_variants_shape(cls):
+    x = jnp.asarray(RNG.standard_normal((B, T, H, W, 3)), jnp.float32)
+    _, y = _run(cls(), x)
+    assert y.shape == (B, T, H // 8, W // 8, 256)
+    assert np.isfinite(y).all()
+
+
+def test_temporal_variants_identity_at_init():
+    """dirac-init temporal Conv1d and zero-init temporal attention make those
+    variants equal plain per-frame Twins at init (flax derives per-param rngs
+    from paths, so shared layers get identical weights). Twins3DConv follows
+    the reference exactly: dirac conv + residual DOUBLES the features at init
+    (core/encoders/twins_3dconv.py:66-68: x = x + temporal_conv(x))."""
+    x = jnp.asarray(RNG.standard_normal((B, T, H, W, 3)), jnp.float32)
+    _, base = _run(Twins(), x)
+    for cls in (Twins1DConv, TwinsTemporalAttention):
+        _, y = _run(cls(), x)
+        np.testing.assert_allclose(y, base, atol=1e-5, rtol=1e-5,
+                                   err_msg=cls.__name__)
+    _, y3 = _run(Twins3DConv(), x)
+    np.testing.assert_allclose(y3, 2 * base, atol=1e-4, rtol=1e-4)
+
+
+def test_basic_encoder_norms():
+    x = jnp.asarray(RNG.standard_normal((2, H, W, 3)), jnp.float32)
+    for norm in ["instance", "batch", "group", "none"]:
+        enc = BasicEncoder(output_dim=256, norm_fn=norm)
+        variables = jax.jit(lambda k, a: enc.init(k, a))(jax.random.PRNGKey(0), x)
+        y = np.asarray(enc.apply(variables, x))
+        assert y.shape == (2, H // 8, W // 8, 256)
+        assert np.isfinite(y).all()
