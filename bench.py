@@ -20,7 +20,16 @@ TARGET = 5.0 * EST_A100_FRAMES_PER_SEC
 
 
 def main():
+    import os
+
     import jax
+
+    # Remote-compile round trips make cold compiles very slow; persist the
+    # executables next to the repo so repeat bench runs start warm.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
 
     from streamflow_tpu.config import StreamFlowConfig

@@ -47,7 +47,7 @@ class StreamFlowConfig:
     mixed_precision: bool = True
 
     # Kernel implementation selection.
-    corr_impl: str = "xla"               # "xla" | "pallas"
+    corr_impl: str = "xla"               # "xla" | "chunked" | "pallas"
     attn_impl: str = "full"              # "full" | "flash" (blocked, Pallas on TPU)
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.

@@ -165,6 +165,11 @@ class StreamFlow(nn.Module):
             from streamflow_tpu.ops.pallas.corr import PallasCorr
 
             pyramid = PallasCorr.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
+        elif cfg.corr_impl == "chunked":
+            from streamflow_tpu.ops.corr import ChunkedCorr
+
+            pyramid = ChunkedCorr.build(f1, f2, cfg.corr_levels,
+                                        cfg.corr_radius)
         else:
             pyramid = CorrPyramid.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
 

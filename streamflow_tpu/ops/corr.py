@@ -68,52 +68,49 @@ def corr_pyramid(vol: jax.Array, num_levels: int = 4) -> List[jax.Array]:
     return pyr
 
 
+def _onehot_bilinear(center: jax.Array, dim: int, radius: int) -> jax.Array:
+    """Interpolation matrix for the k=2r+1 window samples along one axis.
+
+    center: (B, N) fractional sample centers (already level-scaled).
+    Returns (B, N, k, dim): row i holds the bilinear weights of sample
+    center + (i - r) against the integer grid [0, dim). Out-of-range taps
+    match no grid point, reproducing grid_sample's zero padding exactly.
+    """
+    r = radius
+    k = 2 * r + 1
+    c0 = jnp.floor(center)
+    frac = (center - c0)[..., None, None]                      # (B, N, 1, 1)
+    base = c0[..., None] + jnp.arange(-r, r + 1, dtype=center.dtype)  # (B, N, k)
+    grid = jnp.arange(dim, dtype=center.dtype)
+    lo = (base[..., None] == grid).astype(center.dtype)        # (B, N, k, dim)
+    hi = (base[..., None] + 1 == grid).astype(center.dtype)
+    return lo * (1 - frac) + hi * frac
+
+
 def _lookup_level(corr_l: jax.Array, coords: jax.Array, level: int, radius: int) -> jax.Array:
     """Sample one pyramid level at a (2r+1)^2 window around coords / 2**level.
 
     corr_l: (B, N, Hl, Wl); coords: (B, N, 2) pixel xy at level 0.
     Returns (B, N, (2r+1)**2), window flattened x-major.
+
+    TPU note: implemented gather-free as two one-hot bilinear matmuls per
+    query (rows then columns) — batched (k, Hl) @ (Hl, Wl) @ (Wl, k)
+    contractions the MXU eats, instead of a (2r+2)^2-taps-per-query gather
+    (XLA's gather lowering costs ~30ms/iter at 1/8-res 512-wide inputs; the
+    matmul form costs <1ms).
     """
     b, n, hl, wl = corr_l.shape
-    r = radius
-    k = 2 * r + 1
     ctr = coords.astype(jnp.float32) / (2.0 ** level)
-    cx, cy = ctr[..., 0], ctr[..., 1]
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    fx = cx - x0  # shared fractional weight across all integer offsets
-    fy = cy - y0
-
-    # Integer taps: (2r+2) consecutive coords starting at floor(c) - r.
-    offs = jnp.arange(-r, r + 2, dtype=jnp.float32)  # length 2r+2
-    tx = x0[..., None] + offs[None, None, :]  # (B, N, 2r+2)
-    ty = y0[..., None] + offs[None, None, :]
-
-    vx = (tx >= 0) & (tx <= wl - 1)
-    vy = (ty >= 0) & (ty <= hl - 1)
-    ix = jnp.clip(tx, 0, wl - 1).astype(jnp.int32)
-    iy = jnp.clip(ty, 0, hl - 1).astype(jnp.int32)
-
-    # Gather the (2r+2)x(2r+2) integer window per query.
-    flat_idx = (iy[..., :, None] * wl + ix[..., None, :]).reshape(b, n, -1)
-    vals = jnp.take_along_axis(corr_l.reshape(b, n, hl * wl), flat_idx, axis=2)
-    vals = vals.reshape(b, n, 2 * r + 2, 2 * r + 2)  # [.., y-tap, x-tap]
-    valid = (vy[..., :, None] & vx[..., None, :]).astype(vals.dtype)
-    vals = vals * valid
-
-    # Bilinear combine: out[y_off, x_off] over the k x k window.
-    wyy = fy[..., None, None]
-    wxx = fx[..., None, None]
-    out = (
-        vals[..., :k, :k] * (1 - wyy) * (1 - wxx)
-        + vals[..., :k, 1:] * (1 - wyy) * wxx
-        + vals[..., 1:, :k] * wyy * (1 - wxx)
-        + vals[..., 1:, 1:] * wyy * wxx
-    )  # (B, N, k, k) indexed [y_off, x_off]
-
-    # Reference flattening is x-major (delta[...,0] is added to x): transpose.
-    out = out.transpose(0, 1, 3, 2).reshape(b, n, k * k)
-    return out
+    oy = _onehot_bilinear(ctr[..., 1], hl, radius)  # (B, N, k, Hl)
+    ox = _onehot_bilinear(ctr[..., 0], wl, radius)  # (B, N, k, Wl)
+    rows = jnp.einsum("bnkh,bnhw->bnkw", oy, corr_l,
+                      preferred_element_type=jnp.float32)
+    # out[..., ix, iy]: x-major window order (reference flattens with
+    # delta[...,0] added to x, core/corr.py:33-44)
+    out = jnp.einsum("bnxw,bnyw->bnxy", ox, rows,
+                     preferred_element_type=jnp.float32)
+    k = 2 * radius + 1
+    return out.reshape(b, n, k * k)
 
 
 class CorrPyramid(NamedTuple):
@@ -161,3 +158,67 @@ def corr_lookup(
 ) -> jax.Array:
     """One-shot build + lookup (convenience for tests)."""
     return CorrPyramid.build(fmap1, fmap2, num_levels, radius).lookup(coords)
+
+
+class ChunkedCorr(NamedTuple):
+    """Memory-bounded correlation: never materializes the (N, N) volume.
+
+    Stores fmap1 + the pooled fmap2 pyramid (O(N*C) HBM). ``lookup`` sweeps
+    query chunks under lax.map: per chunk, an MXU matmul computes that
+    chunk's volume rows against each pooled level, immediately consumed by
+    the one-hot bilinear window contraction. Peak extra memory is
+    chunk * N_level0 fp32 (e.g. 512 x 32400 = 66 MB at Spring 1080p, vs
+    4.2 GB/pair for the full volume). This is the high-resolution path the
+    reference needs flash-attn + tiling for (SURVEY §5.7).
+    """
+
+    fmap1: jax.Array     # (B, H, W, C)
+    f2_levels: tuple     # pooled fmap2, (B, Hl, Wl, C) per level
+    radius: int
+    chunk: int
+
+    @classmethod
+    def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,
+              chunk: int = 1024) -> "ChunkedCorr":
+        levels = [fmap2]
+        for _ in range(num_levels - 1):
+            s = jax.lax.reduce_window(
+                levels[-1], 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID")
+            levels.append(s * 0.25)
+        return cls(fmap1=fmap1, f2_levels=tuple(levels), radius=radius,
+                   chunk=chunk)
+
+    def lookup(self, coords: jax.Array) -> jax.Array:
+        b, h, w, _ = coords.shape
+        c = self.fmap1.shape[-1]
+        n = h * w
+        scale = 1.0 / math.sqrt(c)
+        chunk = min(self.chunk, n)
+        n_pad = (-n) % chunk
+        f1 = self.fmap1.reshape(b, n, c)
+        pts = coords.reshape(b, n, 2)
+        if n_pad:
+            f1 = jnp.pad(f1, ((0, 0), (0, n_pad), (0, 0)))
+            pts = jnp.pad(pts, ((0, 0), (0, n_pad), (0, 0)))
+        steps = (n + n_pad) // chunk
+        f1 = f1.reshape(b, steps, chunk, c).transpose(1, 0, 2, 3)
+        pts = pts.reshape(b, steps, chunk, 2).transpose(1, 0, 2, 3)
+        f2_flat = [lvl.reshape(b, -1, c) for lvl in self.f2_levels]
+
+        def one_chunk(args):
+            f1c, ptc = args  # (B, chunk, C), (B, chunk, 2)
+            outs = []
+            for lvl, (f2f, f2l) in enumerate(zip(f2_flat, self.f2_levels)):
+                hl, wl = f2l.shape[1], f2l.shape[2]
+                vol = jax.lax.dot_general(
+                    f1c, f2f, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                vol = vol.reshape(b, chunk, hl, wl)
+                outs.append(_lookup_level(vol, ptc, lvl, self.radius))
+            return jnp.concatenate(outs, axis=-1)
+
+        out = jax.lax.map(one_chunk, (f1, pts))  # (steps, B, chunk, 324)
+        out = out.transpose(1, 0, 2, 3).reshape(b, n + n_pad, -1)
+        return out[:, :n].reshape(b, h, w, -1).astype(jnp.float32)

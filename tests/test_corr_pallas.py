@@ -46,5 +46,23 @@ def test_model_pallas_corr_matches_xla_corr():
             jax.random.PRNGKey(0), imgs)
         outs[impl] = np.asarray(
             jax.jit(lambda p_, x: m.apply(p_, x, test_mode=True))(p, imgs))
-    np.testing.assert_allclose(outs["xla"], outs["pallas"], atol=5e-4,
-                               rtol=5e-4)
+    # fp32 contraction-order noise, amplified through the refinement GRU
+    np.testing.assert_allclose(outs["xla"], outs["pallas"], atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_chunked_corr_matches_full():
+    """ChunkedCorr (memory-bounded lax.map sweep) equals the full-volume
+    pyramid lookup."""
+    from streamflow_tpu.ops.corr import ChunkedCorr, CorrPyramid
+    from streamflow_tpu.ops import coords_grid
+
+    B, H, W, C = 2, 16, 24, 32
+    f1 = jnp.asarray(RNG.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(RNG.standard_normal((B, H, W, C)), jnp.float32)
+    coords = coords_grid(B, H, W) + 2.5 * jnp.asarray(
+        RNG.standard_normal((B, H, W, 2)), jnp.float32)
+
+    want = np.asarray(CorrPyramid.build(f1, f2).lookup(coords))
+    got = np.asarray(ChunkedCorr.build(f1, f2, chunk=96).lookup(coords))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
