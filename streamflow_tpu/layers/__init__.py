@@ -1,6 +1,11 @@
 from streamflow_tpu.layers.common import Mlp, LayerNorm, gelu
 from streamflow_tpu.layers.sk import SKBlock
-from streamflow_tpu.layers.gma import GMAAttention, GMAAggregate, TemporalAggregate
+from streamflow_tpu.layers.gma import (
+    GMAAttention,
+    GMAAggregate,
+    TemporalAggregate,
+    TemporalAttentionMap,
+)
 from streamflow_tpu.layers.temporal import TransformerBlock, TemporalLayer
 from streamflow_tpu.layers.update import (
     SKMotionEncoder6,
@@ -12,7 +17,13 @@ from streamflow_tpu.layers.update import (
     SepConvGRU,
     FlowHead,
 )
-from streamflow_tpu.layers.twins import TwinsCSC, Twins
+from streamflow_tpu.layers.twins import (
+    Twins,
+    Twins1DConv,
+    Twins3DConv,
+    TwinsCSC,
+    TwinsTemporalAttention,
+)
 from streamflow_tpu.layers.basic_encoder import BasicEncoder
 
 __all__ = [

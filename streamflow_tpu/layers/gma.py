@@ -90,6 +90,31 @@ class GMAAggregate(nn.Module):
         return fmap + gamma.astype(fmap.dtype) * out
 
 
+class TemporalAttentionMap(nn.Module):
+    """Cross-frame attention map: q/k projected from the channel-concat of
+    all T-1 frames, softmax over the joint spatial grid (reference
+    TemporalAttention, core/gma.py:195-212).
+
+    x: (B, F, H, W, C) -> (B, 1, H*W, H*W) fp32 attention.
+    """
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        joint = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, f * c)
+        qk = conv2d(2 * f * c, 1, use_bias=False, dtype=self.dtype,
+                    name="to_qk")(joint)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q = q * ((f * c) ** -0.5)
+        sim = jnp.einsum(
+            "bxyc,buvc->bxyuv", q.astype(jnp.float32), k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h * w, h * w)
+        return jax.nn.softmax(sim, axis=-1)[:, None]
+
+
 class TemporalAggregate(nn.Module):
     """Temporal-attention aggregate (core/gma.py:107-137): like GMAAggregate
     but with an unconditional projection and its own zero-init gamma."""
