@@ -18,6 +18,16 @@ FLO_MAGIC = 202021.25  # Middlebury sanity-check magic number
 
 # --------------------------------------------------------------------------- .flo
 def read_flo(path) -> np.ndarray:
+    # Fast path: native decoder (C++ thread-pool runtime); falls back to the
+    # NumPy decoder below when the toolchain is unavailable.
+    try:
+        from streamflow_tpu import runtime
+
+        out = runtime.read_flo_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         magic = np.fromfile(f, np.float32, count=1)
         if magic.size == 0 or magic[0] != FLO_MAGIC:

@@ -160,11 +160,17 @@ class GlobalSubSampleAttn(nn.Module):
             a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
             return jnp.einsum("bhqk,bhkd->bhqd", a, v)
 
-        if self.chunk and n > self.chunk and n % self.chunk == 0:
-            qc = q.reshape(b, nh, n // self.chunk, self.chunk, hd)
-            qc = qc.transpose(2, 0, 1, 3, 4)  # (steps, B, nh, chunk, hd)
+        # Auto-chunk at high resolution: the (n, m) attention map otherwise
+        # costs n*m*heads fp32 (3.2 GB at 440x1024 stage 1).
+        chunk = self.chunk or (8192 if n > 32768 else 0)
+        if chunk and n > chunk:
+            pad = (-n) % chunk
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+            steps = (n + pad) // chunk
+            qc = qp.reshape(b, nh, steps, chunk, hd).transpose(2, 0, 1, 3, 4)
             out = jax.lax.map(attend, qc)
-            out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, hd)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n + pad, hd)
+            out = out[:, :, :n]
         else:
             out = attend(q)
 
