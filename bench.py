@@ -59,9 +59,12 @@ def main():
     n_rep = 10
 
     @jax.jit
-    def step(eps):
+    def step(params, imgs, eps):
         flows = model.apply(params, imgs + eps, test_mode=True)
         return jnp.mean(flows) * 1e-9
+
+    step_ = step
+    step = lambda e: step_(params, imgs, e)  # args, not HLO constants
 
     # Warmup/compile + fetch.
     float(step(jnp.float32(0.0)))

@@ -48,12 +48,23 @@ class StreamFlowConfig:
 
     # Kernel implementation selection.
     corr_impl: str = "xla"               # "xla" | "chunked" | "pallas"
-    attn_impl: str = "full"              # "full" | "flash" (blocked, Pallas on TPU)
+    # "flash" (default): q/k kept, softmax(qk)v fused per iteration with the
+    # blocked Pallas kernel — numerically identical to "full" (which
+    # materializes the (N, N) map once like the reference's non-flash path,
+    # costing ~50ms + 600MB at 440x1024).
+    attn_impl: str = "flash"
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0
 
     dropout: float = 0.0
+
+    # Rematerialize each refinement iteration in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of the update block per
+    # iteration for not storing 12-24 iterations of activations — the TPU
+    # analogue of the gradient checkpointing the reference only has in its
+    # unused UMT encoder (core/encoders/umt.py:333-335).
+    remat: bool = False
 
     @property
     def hidden_dim(self) -> int:

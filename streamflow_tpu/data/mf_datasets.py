@@ -346,6 +346,52 @@ class SpringVal(Spring):
         self.records = [r for r in base.records if r.scene.startswith("0041")]
 
 
+class BiFlyingThings3DMultiFrame(ClipDataset):
+    """Bidirectional-GT FlyingThings windows (forward + backward flow per
+    pair) for the 'bithings' stage (reference Bi_FlyingThings3DMultiFrame,
+    core/mf_datasets.py:523-596). Samples carry an extra 'flows_bw' array."""
+
+    def __init__(self, aug_params=None, root="datasets/flyingthings3d",
+                 split="training", dstype="frames_cleanpass", nframes=4):
+        super().__init__(aug_params)
+        self.bw_flows: List[Tuple[str, ...]] = []
+        for cam in ["left"]:
+            image_dirs = sorted(glob(osp.join(root, dstype, "TRAIN/*/*")))
+            image_dirs = sorted(osp.join(f, cam) for f in image_dirs)
+            flow_dirs = sorted(glob(osp.join(root, "optical_flow/TRAIN/*/*")))
+            fw_dirs = sorted(osp.join(f, "into_future", cam) for f in flow_dirs)
+            bw_dirs = sorted(osp.join(f, "into_past", cam) for f in flow_dirs)
+            for idir, fdir, bdir in zip(image_dirs, fw_dirs, bw_dirs):
+                images = sorted(glob(osp.join(idir, "*.png")))
+                fw = sorted(glob(osp.join(fdir, "*.pfm")))
+                bw = sorted(glob(osp.join(bdir, "*.pfm")))
+                if len(images) < nframes:
+                    continue
+                n = len(images)
+                i = 0
+                while True:
+                    s = i if i + nframes <= n else n - nframes
+                    self.records.append(ClipRecord(
+                        images=tuple(images[s : s + nframes]),
+                        flows=tuple(fw[s : s + nframes - 1]),
+                        has_gt=tuple(True for _ in range(nframes - 1)),
+                        frame_ids=tuple(range(s, s + nframes)),
+                        scene=idir))
+                    # backward flow of pair (t, t+1) is into_past at t+1
+                    self.bw_flows.append(tuple(bw[s + 1 : s + nframes]))
+                    if i + nframes >= n:
+                        break
+                    i += nframes - 1
+
+    def load(self, index, rng=None):
+        sample = super().load(index, rng)
+        if self.augmentor is None:
+            bw = [np.asarray(frame_utils.read_gen(p), np.float32)
+                  for p in self.bw_flows[index % len(self.records)]]
+            sample["flows_bw"] = np.stack(bw)
+        return sample
+
+
 # ----------------------------------------------------------------------- mixing
 class MixedDataset:
     """Weighted concatenation: (dataset, replication) pairs, same epoch

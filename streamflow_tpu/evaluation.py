@@ -154,6 +154,57 @@ def validate_spring(model, params, root="datasets/spring", iters=15,
     return res
 
 
+def mine_worst_cases(model, params, root="datasets/sintel", iters=15,
+                     nframes=4, dstypes=("clean", "final"), top_k=30,
+                     save_root="worst_cases"):
+    """Rank eval windows by mean EPE and dump the worst ones with input
+    frames + predicted/GT flow visualizations (reference get_worst_case,
+    evaluate_mf.py:172-248)."""
+    import os
+
+    from PIL import Image
+
+    from streamflow_tpu.data.flow_viz import flow_to_image
+
+    fwd = JittedForward(model, params, iters)
+    for dstype in dstypes:
+        ds = mf_datasets.SintelMultiframeEval(split="training", dstype=dstype,
+                                              root=root, nframes=nframes)
+
+        def run(i):
+            s = ds.load(i)
+            imgs = s["images"][None]
+            padder = InputPadder(imgs.shape[-3:], mode="sintel")
+            flows = fwd(jnp.asarray(padder.pad(imgs)))
+            return s, np.asarray(padder.unpad(flows))[0]
+
+        scores = []
+        for i in range(len(ds)):
+            s, flows = run(i)
+            epes = [
+                _epe_map(flows[p], s["flows"][p]).mean()
+                for p in range(nframes - 1) if s["frame_ids"][p] != -1
+            ]
+            scores.append(float(np.mean(epes)) if epes else -1.0)
+
+        worst = np.argsort(np.asarray(scores))[-top_k:][::-1]
+        for rank, idx in enumerate(worst):
+            s, flows = run(int(idx))
+            out = os.path.join(save_root, dstype, f"{rank:02d}_{idx}")
+            os.makedirs(out, exist_ok=True)
+            for j in range(nframes):
+                Image.fromarray(s["images"][j].astype(np.uint8)).save(
+                    os.path.join(out, f"image{j}.png"))
+            for p in range(nframes - 1):
+                Image.fromarray(flow_to_image(flows[p])).save(
+                    os.path.join(out, f"pred{p}.png"))
+                Image.fromarray(flow_to_image(s["flows"][p])).save(
+                    os.path.join(out, f"gt{p}.png"))
+            with open(os.path.join(out, "epe.txt"), "w") as f:
+                f.write(f"{scores[int(idx)]:.4f}\n")
+        print(f"[{dstype}] worst-{top_k} windows written to {save_root}")
+
+
 def validate_sintel_occlusion(model, params, root="datasets/sintel", iters=15,
                               nframes=4, dstype="final") -> Dict[str, float]:
     """Occluded / non-occluded EPE split (reference evaluate_mf.py:550-592)."""

@@ -196,8 +196,11 @@ class StreamFlow(nn.Module):
         xs = (inp, attn, pyramid, coords0)
 
         emit = not test_mode
+        step_cls = _RefinementStep
+        if cfg.remat and train:
+            step_cls = nn.remat(_RefinementStep, static_argnums=())
         scan = nn.scan(
-            _RefinementStep,
+            step_cls,
             variable_broadcast="params",
             variable_axes={"intermediates": 0},
             split_rngs={"params": False},

@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import List, NamedTuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -113,17 +114,19 @@ def _lookup_level(corr_l: jax.Array, coords: jax.Array, level: int, radius: int)
     return out.reshape(b, n, k * k)
 
 
-class CorrPyramid(NamedTuple):
+@flax.struct.dataclass
+class CorrPyramid:
     """Precomputed correlation pyramid for one frame pair.
 
     Functional analogue of the reference's CorrBlock object
     (core/corr.py:6-44): build once per forward pass, look up per iteration.
+    radius/h/w are static pytree aux-data (safe under scan/remat/jit).
     """
 
     levels: tuple  # tuple of (B, N, Hl, Wl) arrays
-    radius: int
-    h: int
-    w: int
+    radius: int = flax.struct.field(pytree_node=False)
+    h: int = flax.struct.field(pytree_node=False)
+    w: int = flax.struct.field(pytree_node=False)
 
     @classmethod
     def build(
@@ -160,7 +163,8 @@ def corr_lookup(
     return CorrPyramid.build(fmap1, fmap2, num_levels, radius).lookup(coords)
 
 
-class ChunkedCorr(NamedTuple):
+@flax.struct.dataclass
+class ChunkedCorr:
     """Memory-bounded correlation: never materializes the (N, N) volume.
 
     Stores fmap1 + the pooled fmap2 pyramid (O(N*C) HBM). ``lookup`` sweeps
@@ -174,8 +178,8 @@ class ChunkedCorr(NamedTuple):
 
     fmap1: jax.Array     # (B, H, W, C)
     f2_levels: tuple     # pooled fmap2, (B, Hl, Wl, C) per level
-    radius: int
-    chunk: int
+    radius: int = flax.struct.field(pytree_node=False)
+    chunk: int = flax.struct.field(pytree_node=False)
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,

@@ -3,30 +3,28 @@
 Replaces the reference composite (matmul -> avg_pool pyramid -> 81 bilinear
 gathers per level, core/corr.py:13-44) with one kernel per query block:
 
-  1. MXU: scores_l = f1_block @ pooled_f2_l^T / sqrt(C) for each pyramid
-     level — a (BQ, Nl) matmul slab; the full-rank (N, N) volume never exists
-     in HBM (only BQ rows at a time live in VMEM).
-  2. The slab is written into a zero-initialized padded scratch
-     (BQ, Hl+2P, Wl+2P). Because bilinear sampling with zero padding makes all
-     out-of-image taps contribute 0, the padding IS the boundary mask: query
-     centers are pre-clamped to [-(r+1), dim+r] (beyond which every tap is
-     exactly zero anyway), so every 10x10 window read lands inside the padded
-     array and needs no masking.
-  3. Per query: one (2r+2)x(2r+2) dynamic-slice per level + the shared
-     bilinear fractional weights collapse the 81 samples (the integer window
-     trick from ops/corr.py), writing the (2r+1)^2 outputs x-major to match
-     the reference channel order.
+  1. MXU: scores_l = f1_block @ pooled_f2_l^T / sqrt(C) per pyramid level —
+     a (BQ, Nl) matmul slab; the full-rank (N, N) volume never exists in HBM
+     (only BQ rows at a time live in VMEM).
+  2. The slab is written row-by-row into a zero-initialized padded scratch
+     (BQ, Hl+2P, Wl+2P). Bilinear sampling with zero padding makes all
+     out-of-image taps contribute 0, so the padding IS the boundary mask:
+     query centers are pre-clamped to [-(r+1), dim+r] (beyond which every tap
+     carries zero weight anyway) and every (2r+2)^2 window read lands inside
+     the padded array with no masking.
+  3. Per query: one (2r+2)x(2r+2) dynamic-slice per level (origins/fracs
+     scalar-prefetched through SMEM) + the shared bilinear fractional weights
+     collapse the 81 samples (the integer-window trick from ops/corr.py).
 
-Inputs are prepared on the host side of the jit (pool pyramid of fmap2,
-integer window origins, fractional weights) — all cheap elementwise work XLA
-fuses; the kernel owns the bandwidth-heavy part.
+The kernel writes windows [y, x]-ordered into a (B, N, L, k, k) output; the
+host-side wrapper transposes to the reference's x-major channel layout (a
+cheap fused XLA transpose).
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,21 +32,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pool_hw(h: int, w: int, level: int):
-    for _ in range(level):
-        h, w = h // 2, w // 2
-    return h, w
-
-
 def _corr_kernel(f1_ref, idx_ref, frac_ref, *f2_refs_and_out,
                  radius: int, level_hw, scale: float, block_q: int):
     """One grid cell = one (batch-pair, query-block).
 
-    f1_ref:   (1, BQ, C)        queries
-    idx_ref:  (1, BQ, 2*L)      int32 padded window origins per level (y, x)
-    frac_ref: (1, BQ, 2*L)      f32 fractional weights per level (fy, fx)
-    f2_refs_and_out: L pooled-feature refs (1, Nl, C), the output ref
-                     (1, BQ, L*(2r+1)^2), then L padded scratch refs.
+    f1_ref:   (1, BQ, C) VMEM       queries
+    idx_ref:  (1, BQ, 2*L) SMEM     int32 padded window origins (y, x)/level
+    frac_ref: (1, BQ, 2*L) SMEM     f32 fractional weights (fy, fx)/level
+    f2_refs_and_out: L pooled-feature refs (1, Nl, C) VMEM, the output ref
+                     (1, BQ, L, k, k), then L padded scratch refs.
     """
     n_levels = len(level_hw)
     f2_refs = f2_refs_and_out[:n_levels]
@@ -61,31 +53,53 @@ def _corr_kernel(f1_ref, idx_ref, frac_ref, *f2_refs_and_out,
 
     f1 = f1_ref[0]  # (BQ, C)
 
-    # Stage 1+2: matmul slabs into zero-padded scratches.
+    # Stage 1+2: matmul slabs into zero-padded scratches, row by row
+    # (no (BQ, N) -> (BQ, H, W) reshape: Mosaic-unsupported shape cast).
     for l in range(n_levels):
         hl, wl, pad = level_hw[l]
         scores = jax.lax.dot_general(
             f1, f2_refs[l][0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, Nl)
+        ) * scale  # (BQ, hl*wl)
         scratch_refs[l][...] = jnp.zeros_like(scratch_refs[l])
-        scratch_refs[l][:, pad:pad + hl, pad:pad + wl] = scores.reshape(
-            block_q, hl, wl)
+        for y in range(hl):
+            scratch_refs[l][:, pad + y, pad:pad + wl] = scores[:, y * wl:(y + 1) * wl]
 
-    # Stage 3: per-query window extraction.
-    def body(q, _):
+    # Stage 3: per-query window extraction as two one-hot matmuls per level
+    # (Mosaic has no misaligned dynamic window loads; iota-compare selection
+    # matrices + MXU contractions are fully supported).
+    def body(q, carry):
         for l in range(n_levels):
+            hl, wl, pad = level_hw[l]
+            hp, wp = hl + 2 * pad, wl + 2 * pad
             fy = frac_ref[0, q, 2 * l]
             fx = frac_ref[0, q, 2 * l + 1]
             ys = idx_ref[0, q, 2 * l]
             xs = idx_ref[0, q, 2 * l + 1]
-            win = scratch_refs[l][q, pl.ds(ys, kk), pl.ds(xs, kk)]  # (kk, kk)
-            rows = win[:k, :] * (1.0 - fy) + win[1:, :] * fy        # (k, kk)
-            vals = rows[:, :k] * (1.0 - fx) + rows[:, 1:] * fx      # (k, k) [y, x]
-            # x-major flattening (reference channel order, core/corr.py:33-44)
-            vals = vals.T.reshape(1, k * k)
-            out_ref[0, pl.ds(q, 1), l * k * k:(l + 1) * k * k] = vals
-        return _
+
+            s_q = scratch_refs[l][q]  # (Hp, Wp), static full-minor slice
+
+            # rowsel[i, y] = (1-fy)[y==ys+i] + fy[y==ys+i+1]
+            offs_r = jax.lax.broadcasted_iota(jnp.int32, (k, hp), 0)
+            grid_r = jax.lax.broadcasted_iota(jnp.int32, (k, hp), 1)
+            tap_r = grid_r - offs_r
+            rowsel = ((tap_r == ys).astype(jnp.float32) * (1.0 - fy)
+                      + (tap_r == ys + 1).astype(jnp.float32) * fy)
+
+            offs_c = jax.lax.broadcasted_iota(jnp.int32, (wp, k), 1)
+            grid_c = jax.lax.broadcasted_iota(jnp.int32, (wp, k), 0)
+            tap_c = grid_c - offs_c
+            colsel = ((tap_c == xs).astype(jnp.float32) * (1.0 - fx)
+                      + (tap_c == xs + 1).astype(jnp.float32) * fx)
+
+            rows = jax.lax.dot_general(
+                rowsel, s_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (k, Wp)
+            vals = jax.lax.dot_general(
+                rows, colsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (k, k) [y, x]
+            out_ref[0, q, l] = vals
+        return carry
 
     jax.lax.fori_loop(0, block_q, body, 0)
 
@@ -115,6 +129,7 @@ def corr_lookup_fused_pyr(fmap1, f2_levels, coords, radius: int = 4,
     b, h, w, c = fmap1.shape
     n = h * w
     r = radius
+    k = 2 * r + 1
     pad = 2 * r + 2  # window origins span [-(2r+1), dim] after clamping
 
     f2s = []
@@ -124,7 +139,7 @@ def corr_lookup_fused_pyr(fmap1, f2_levels, coords, radius: int = 4,
         f2s.append(cur.reshape(b, hl * wl, c))
         level_hw.append((hl, wl, pad))
 
-    # Per-level integer window origins + fracs, centers clamped so every tap
+    # Per-level integer window origins + fracs; centers clamped so every tap
     # either lands in the padded scratch or carries exactly zero weight.
     pts = coords.reshape(b, n, 2).astype(jnp.float32)
     idxs, fracs = [], []
@@ -148,12 +163,12 @@ def corr_lookup_fused_pyr(fmap1, f2_levels, coords, radius: int = 4,
         idx = jnp.pad(idx, ((0, 0), (0, n_pad), (0, 0)))
         frac = jnp.pad(frac, ((0, 0), (0, n_pad), (0, 0)))
     n_tot = n + n_pad
-    kk2 = len(level_hw) * (2 * r + 1) ** 2
+    n_levels = len(level_hw)
 
     grid = (b, n_tot // block_q)
     scratch_shapes = [
-        pltpu.VMEM((block_q, hl + 2 * pad, wl + 2 * pad), jnp.float32)
-        for hl, wl, pad in level_hw
+        pltpu.VMEM((block_q, hl + 2 * p, wl + 2 * p), jnp.float32)
+        for hl, wl, p in level_hw
     ]
 
     out = pl.pallas_call(
@@ -161,23 +176,29 @@ def corr_lookup_fused_pyr(fmap1, f2_levels, coords, radius: int = 4,
             _corr_kernel, radius=radius, level_hw=tuple(level_hw),
             scale=1.0 / math.sqrt(c), block_q=block_q,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tot, kk2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels, k, k),
+                                       jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, block_q, idx.shape[-1]),
-                         lambda bi, qi: (bi, qi, 0)),
+                         lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, frac.shape[-1]),
-                         lambda bi, qi: (bi, qi, 0)),
+                         lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
         ] + [
             pl.BlockSpec((1, f2.shape[1], c), lambda bi, qi: (bi, 0, 0))
             for f2 in f2s
         ],
-        out_specs=pl.BlockSpec((1, block_q, kk2), lambda bi, qi: (bi, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, n_levels, k, k),
+                               lambda bi, qi: (bi, qi, 0, 0, 0)),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
     )(f1, idx, frac, *f2s)
 
-    return out[:, :n].reshape(b, h, w, kk2)
+    # [y, x] windows -> the reference's x-major channel order.
+    out = out[:, :n].transpose(0, 1, 2, 4, 3)
+    return out.reshape(b, h, w, n_levels * k * k)

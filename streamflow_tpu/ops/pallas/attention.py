@@ -69,10 +69,7 @@ def _flash_xla(q, k, v, kv_chunk: int = 2048):
     return (acc / row_sum[..., None]).astype(v.dtype)
 
 
-def flash_attention(q, k, v, scaled: bool = False, kv_chunk: int = 2048):
-    """softmax(q k^T [* scale]) v with O(N) memory."""
-    if not scaled:
-        q = q * (q.shape[-1] ** -0.5)
+def _flash_impl(q, k, v):
     if jax.default_backend() == "tpu":
         try:
             from streamflow_tpu.ops.pallas._attention_kernel import (
@@ -82,4 +79,32 @@ def flash_attention(q, k, v, scaled: bool = False, kv_chunk: int = 2048):
             return flash_attention_tpu(q, k, v)
         except Exception:
             pass
-    return _flash_xla(q, k, v, kv_chunk=kv_chunk)
+    return _flash_xla(q, k, v)
+
+
+@jax.custom_vjp
+def _flash_scaled(q, k, v):
+    """softmax(q k^T) v, q pre-scaled. Pallas kernel forward on TPU; the
+    backward recomputes attention through the streaming XLA implementation
+    (same math, O(N) residency) so training with attn_impl='flash' works."""
+    return _flash_impl(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _flash_impl(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_flash_xla, q, k, v)
+    return vjp(g)
+
+
+_flash_scaled.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, scaled: bool = False, kv_chunk: int = 2048):
+    """softmax(q k^T [* scale]) v with O(N) memory. Differentiable."""
+    if not scaled:
+        q = q * (q.shape[-1] ** -0.5)
+    return _flash_scaled(q, k, v)

@@ -19,15 +19,15 @@ on CPU in tests via the Pallas interpreter).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct
 import jax
 
 
-class PallasCorr(NamedTuple):
+@flax.struct.dataclass
+class PallasCorr:
     fmap1: jax.Array        # (B, H, W, C) fp32
     f2_levels: tuple        # pooled fmap2 levels, (B, Hl, Wl, C)
-    radius: int
+    radius: int = flax.struct.field(pytree_node=False)
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4):

@@ -56,3 +56,23 @@ def test_pallas_kernel_interpret_mode():
     want = naive(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_flash_attention_grad():
+    """attn_impl='flash' must be trainable: custom VJP matches naive grads."""
+    b, h, n, d = 1, 1, 40, 16
+    q = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive(q * d ** -0.5, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
