@@ -56,6 +56,10 @@ def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str):
     if cfg.encoder in _TWINS_VARIANTS:
         return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk, dtype=dtype,
                                             name=name)
+    if cfg.encoder == "umt":
+        from streamflow_tpu.layers.umt import UMT
+
+        return UMT(dtype=dtype, name=name)
     if cfg.encoder in ("basic", "resnet18"):
         # reference ResNet18 encoder (core/encoders/resnet18.py:119-187) is
         # the RAFT CNN lifted over T with output_dim=256

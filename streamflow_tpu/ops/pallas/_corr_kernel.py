@@ -117,7 +117,7 @@ def pool_pyramid(fmap2, num_levels: int = 4):
 
 @functools.partial(jax.jit, static_argnames=("num_levels", "radius", "block_q"))
 def corr_lookup_fused(fmap1, fmap2, coords, num_levels: int = 4,
-                      radius: int = 4, block_q: int = 128):
+                      radius: int = 4, block_q: int = 64):
     """fmap1, fmap2: (B, H, W, C); coords: (B, H, W, 2) pixel xy.
     Returns (B, H, W, num_levels*(2r+1)^2) fp32."""
     return corr_lookup_fused_pyr(fmap1, pool_pyramid(fmap2, num_levels),
@@ -125,7 +125,12 @@ def corr_lookup_fused(fmap1, fmap2, coords, num_levels: int = 4,
 
 
 def corr_lookup_fused_pyr(fmap1, f2_levels, coords, radius: int = 4,
-                          block_q: int = 128):
+                          block_q: int = 64):
+    # Features ride VMEM in bf16 (halves the resident pooled pyramid; the
+    # matmul still accumulates fp32 — same numerics as the reference's AMP
+    # path where fmaps are fp16-valued).
+    fmap1 = fmap1.astype(jnp.bfloat16)
+    f2_levels = [f.astype(jnp.bfloat16) for f in f2_levels]
     b, h, w, c = fmap1.shape
     n = h * w
     r = radius

@@ -19,8 +19,60 @@ on CPU in tests via the Pallas interpreter).
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
+
+
+def _xla_equiv(fmap1, f2_levels, coords, radius: int):
+    """XLA equivalent of the fused kernel (pooled-feature matmul per level +
+    one-hot bilinear lookup); identical math, used off-TPU and as the
+    recompute backward."""
+    import jax.numpy as jnp
+
+    from streamflow_tpu.ops.corr import CorrPyramid
+
+    b, h, w, c = fmap1.shape
+    levels = []
+    f1 = fmap1.reshape(b, h * w, c)
+    for lvl in f2_levels:
+        hl, wl = lvl.shape[1], lvl.shape[2]
+        vol = jax.lax.dot_general(
+            f1, lvl.reshape(b, hl * wl, c),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.float32(c))
+        levels.append(vol.reshape(b, h * w, hl, wl))
+    return CorrPyramid(levels=tuple(levels), radius=radius, h=h,
+                       w=w).lookup(coords)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_lookup(fmap1, f2_levels, coords, radius):
+    if jax.default_backend() == "tpu":
+        from streamflow_tpu.ops.pallas._corr_kernel import (
+            corr_lookup_fused_pyr,
+        )
+
+        return corr_lookup_fused_pyr(fmap1, list(f2_levels), coords,
+                                     radius=radius)
+    return _xla_equiv(fmap1, f2_levels, coords, radius)
+
+
+def _fused_fwd(fmap1, f2_levels, coords, radius):
+    return _fused_lookup(fmap1, f2_levels, coords, radius), (
+        fmap1, f2_levels, coords)
+
+
+def _fused_bwd(radius, res, g):
+    fmap1, f2_levels, coords = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_equiv(a, b, c, radius),
+                     fmap1, f2_levels, coords)
+    return vjp(g)
+
+
+_fused_lookup.defvjp(_fused_fwd, _fused_bwd)
 
 
 @flax.struct.dataclass
@@ -38,28 +90,4 @@ class PallasCorr:
                    radius=radius)
 
     def lookup(self, coords):
-        if jax.default_backend() == "tpu":
-            from streamflow_tpu.ops.pallas._corr_kernel import (
-                corr_lookup_fused_pyr,
-            )
-
-            return corr_lookup_fused_pyr(self.fmap1, list(self.f2_levels),
-                                         coords, radius=self.radius)
-        # Off-TPU: XLA composite on the already-pooled pyramid.
-        from streamflow_tpu.ops.corr import CorrPyramid, corr_volume
-
-        import jax.numpy as jnp
-
-        b, h, w, c = self.fmap1.shape
-        levels = []
-        f1 = self.fmap1.reshape(b, h * w, c)
-        for lvl in self.f2_levels:
-            hl, wl = lvl.shape[1], lvl.shape[2]
-            vol = jax.lax.dot_general(
-                f1, lvl.reshape(b, hl * wl, c),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) / jnp.sqrt(jnp.float32(c))
-            levels.append(vol.reshape(b, h * w, hl, wl))
-        return CorrPyramid(levels=tuple(levels), radius=self.radius,
-                           h=h, w=w).lookup(coords)
+        return _fused_lookup(self.fmap1, self.f2_levels, coords, self.radius)

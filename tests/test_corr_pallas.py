@@ -25,7 +25,8 @@ def test_fused_corr_matches_xla(disp_scale):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(corr_lookup_fused(f1, f2, coords, block_q=128))
     assert got.shape == want.shape == (B, H, W, 324)
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+    # bf16 features in the fused kernel (fp32 accumulate)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=2e-2)
 
 
 def test_model_pallas_corr_matches_xla_corr():

@@ -56,3 +56,14 @@ def test_basic_encoder_norms():
         y = np.asarray(enc.apply(variables, x))
         assert y.shape == (2, H // 8, W // 8, 256)
         assert np.isfinite(y).all()
+
+
+def test_umt_encoder_shape():
+    from streamflow_tpu.layers.umt import UMT
+
+    x = jnp.asarray(RNG.standard_normal((1, 3, 32, 48, 3)), jnp.float32)
+    enc = UMT(depth=2)
+    p = jax.jit(lambda k, a: enc.init(k, a))(jax.random.PRNGKey(0), x)
+    y = np.asarray(jax.jit(lambda p_, a: enc.apply(p_, a))(p, x))
+    assert y.shape == (1, 3, 2, 3, 768)
+    assert np.isfinite(y).all()
