@@ -47,17 +47,17 @@ class StreamFlowConfig:
     mixed_precision: bool = True
 
     # Kernel implementation selection.
-    # "pallas" (default): fused volume-matmul + radius-window lookup per
-    # refinement iteration — never materializes the (N, N) volume (O(N*C)
-    # memory) and runs ~2.7x faster per iteration than the XLA composite on
-    # v5e. "xla" keeps the reference's materialized pyramid; "chunked" is the
-    # pure-XLA memory-bounded fallback.
-    corr_impl: str = "pallas"
-    # "flash" (default): q/k kept, softmax(qk)v fused per iteration with the
-    # blocked Pallas kernel — numerically identical to "full" (which
-    # materializes the (N, N) map once like the reference's non-flash path,
-    # costing ~50ms + 600MB at 440x1024).
-    attn_impl: str = "flash"
+    # Correlation implementation. Measured on v5e at 440x1024 (12 iters,
+    # end-to-end): "xla" (materialized volume + gather-free one-hot lookup)
+    # is fastest; "pallas" (fused volume-matmul + lookup, O(N*C) memory) and
+    # "chunked" (lax.map sweep) cost ~10% more but never materialize the
+    # (N, N) volume — required at Spring 1080p+ where the volume is 4.2GB/pair.
+    # Pick with `for_resolution()`.
+    corr_impl: str = "xla"
+    # "full" materializes the (N, N) attention map once (reference non-flash
+    # path); "flash" recomputes softmax(qk)v per iteration with the blocked
+    # Pallas kernel — numerically identical, O(N) memory.
+    attn_impl: str = "full"
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0
@@ -88,6 +88,16 @@ class StreamFlowConfig:
     @property
     def corr_planes(self) -> int:
         return self.corr_levels * (2 * self.corr_radius + 1) ** 2
+
+    def for_resolution(self, height: int, width: int) -> "StreamFlowConfig":
+        """Pick memory-appropriate kernel implementations for an input size:
+        above ~0.5MP the O(N^2) volume/attention-map paths stop fitting (the
+        resolutions the reference needs flash-attn + tiling for)."""
+        n_tokens = (height // self.ratio) * (width // self.ratio)
+        if n_tokens <= 10_000:
+            return self
+        return dataclasses.replace(self, corr_impl="pallas",
+                                   attn_impl="flash", gsa_chunk=8192)
 
 
 @dataclasses.dataclass(frozen=True)
