@@ -64,6 +64,12 @@ class StreamFlowConfig:
 
     dropout: float = 0.0
 
+    # Unroll factor for the refinement lax.scan: unrolled iterations let XLA
+    # overlap the lookup matmuls of one iteration with the update convs of
+    # the previous (measured: 4 unrolled iterations cost ~1.5ms each vs ~15ms
+    # sequential at 440x1024).
+    scan_unroll: int = 4
+
     # Rematerialize each refinement iteration in the backward pass
     # (jax.checkpoint): trades ~1 extra forward of the update block per
     # iteration for not storing 12-24 iterations of activations — the TPU

@@ -154,6 +154,44 @@ def validate_spring(model, params, root="datasets/spring", iters=15,
     return res
 
 
+def validate_kitti_tiled(model, params, multi_root="datasets/multi-kitti",
+                         iters=15, nframes=4, patch_size=(432, 960),
+                         min_overlap=20, sigma=0.05) -> Dict[str, float]:
+    """Tiled high-res KITTI validation: overlapping train-size patches with
+    Gaussian blending (reference validate_kitti_mf_tile,
+    evaluate_mf.py:985-1053)."""
+    from streamflow_tpu.tiling import tiled_forward
+
+    fwd = JittedForward(model, params, iters)
+    ds = mf_datasets.KITTIMultiFrameEval(multi_root=multi_root,
+                                         split="training", nframes=nframes)
+    epe_list, out_list = [], []
+    for i in range(len(ds)):
+        s = ds.load(i)
+        imgs = s["images"][None]
+        padder = InputPadder(imgs.shape[-3:], mode="kitti432")
+        padded = jnp.asarray(padder.pad(imgs))
+        if padded.shape[2] < patch_size[0] or padded.shape[3] < patch_size[1]:
+            flows = fwd(padded)
+        else:
+            flows = tiled_forward(lambda t: fwd(t), padded,
+                                  patch_size=patch_size,
+                                  min_overlap=min_overlap, sigma=sigma)
+        flows = np.asarray(padder.unpad(flows))[0]
+        p = nframes - 2
+        gt, valid = s["flows"][p], s["valids"][p] >= 0.5
+        epe = _epe_map(flows[p], gt).reshape(-1)
+        mag = np.sqrt((gt ** 2).sum(-1)).reshape(-1)
+        v = valid.reshape(-1)
+        out = (epe > 3.0) & ((epe / np.maximum(mag, 1e-12)) > 0.05)
+        epe_list.append(epe[v].mean())
+        out_list.append(out[v])
+    epe = float(np.mean(epe_list))
+    f1 = float(100 * np.concatenate(out_list).mean())
+    print(f"Validation KITTI (tiled): {epe:.4f}, {f1:.4f}")
+    return {"kitti_tile_epe": epe, "kitti_tile_f1": f1}
+
+
 def mine_worst_cases(model, params, root="datasets/sintel", iters=15,
                      nframes=4, dstypes=("clean", "final"), top_k=30,
                      save_root="worst_cases"):

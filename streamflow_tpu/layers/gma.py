@@ -49,10 +49,16 @@ class GMAAttention(nn.Module):
         if self.mode == "flash":
             return q, k
         sim = jnp.einsum(
-            "bhnd,bhmd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32),
+            "bhnd,bhmd->bhnm", q, k,
             preferred_element_type=jnp.float32,
         )
-        return jax.nn.softmax(sim, axis=-1)
+        attn = jax.nn.softmax(sim, axis=-1)
+        # Under mixed precision the reused (N, N) map is stored bf16: halves
+        # the 600MB/iteration HBM traffic of the aggregate matmul at 440x1024
+        # (logits + softmax stay fp32).
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
+        return attn
 
 
 class GMAAggregate(nn.Module):

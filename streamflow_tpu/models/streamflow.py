@@ -211,6 +211,7 @@ class StreamFlow(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=iters,
+            unroll=min(cfg.scan_unroll, iters) if iters else 1,
         )(cfg=cfg, emit_flow=emit, dtype=dtype, name="step")
         (net, coords1, mask), ys = scan(carry, xs)
 
