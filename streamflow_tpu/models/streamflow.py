@@ -175,7 +175,8 @@ class StreamFlow(nn.Module):
             pyramid = ChunkedCorr.build(f1, f2, cfg.corr_levels,
                                         cfg.corr_radius)
         else:
-            pyramid = CorrPyramid.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
+            pyramid = CorrPyramid.build(f1, f2, cfg.corr_levels,
+                                        cfg.corr_radius, store_dtype=dtype)
 
         net, inp = jnp.split(cnets, 2, axis=-1)
         net = jnp.tanh(net)
