@@ -128,3 +128,47 @@ def test_mixed_dataset_replication(sintel_root, kitti_root):
     assert len(mix) == 10 * len(a) + len(b)
     s = mix.load(len(a) * 10)  # first kitti record
     assert s["frame_ids"][0] == 9
+
+
+def test_spring_dataset_and_eval(tmp_path):
+    """Spring tree: fw+bw both cams, [::2,::2] GT subsample, NaN-invalid,
+    scene 0041 val split (reference core/mf_datasets.py:47-324)."""
+    import os.path as osp
+
+    from streamflow_tpu.data.mf_datasets import Spring, SpringVal
+
+    rng = np.random.default_rng(5)
+    root = tmp_path / "spring" / "train"
+    Hs, Ws = 16, 24  # image size; GT is 2x (subsampled back)
+    for scene in ["0001", "0041"]:
+        for cam in ["left", "right"]:
+            d = root / scene / f"frame_{cam}"
+            d.mkdir(parents=True)
+            for i in range(1, 6):
+                _write_png_sized(d / f"frame_{cam}_{i:04d}.png", rng, Hs, Ws)
+            for tag, rng_ids in [("FW", range(1, 5)), ("BW", range(5, 1, -1))]:
+                fd = root / scene / f"flow_{tag}_{cam}"
+                fd.mkdir(parents=True)
+                for i in rng_ids:
+                    fl = rng.standard_normal((2 * Hs, 2 * Ws, 2)).astype(np.float32)
+                    fl[0, 0] = np.nan  # NaN marks invalid GT
+                    frame_utils.write_flo5(
+                        fd / f"flow_{tag}_{cam}_{i:04d}.flo5", fl)
+
+    ds = Spring(None, str(root), nframes=4, subsample_groundtruth=True,
+                split=True)
+    # split=True drops 0041; 1 scene x 2 cams x 2 dirs x 2 windows(5 frames,
+    # stride 3 -> starts 0 and tail)
+    assert all(r.scene.startswith("0001") for r in ds.records)
+    s = ds.load(0)
+    assert s["images"].shape == (4, Hs, Ws, 3)
+    assert s["flows"].shape == (3, Hs, Ws, 2)  # [::2,::2] subsampled
+    assert (s["valids"][:, 0, 0] == 0).all()  # NaN -> invalid
+
+    val = SpringVal(str(root), nframes=4)
+    assert len(val) > 0
+    assert all(r.scene.startswith("0041") for r in val.records)
+
+
+def _write_png_sized(path, rng, h, w):
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
