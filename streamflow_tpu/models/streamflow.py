@@ -169,6 +169,11 @@ class StreamFlow(nn.Module):
             from streamflow_tpu.ops.pallas.corr import PallasCorr
 
             pyramid = PallasCorr.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
+        elif cfg.corr_impl == "pallas_window":
+            from streamflow_tpu.ops.pallas.corr import WindowCorr
+
+            pyramid = WindowCorr.build(f1, f2, cfg.corr_levels,
+                                       cfg.corr_radius, store_dtype=dtype)
         elif cfg.corr_impl == "chunked":
             from streamflow_tpu.ops.corr import ChunkedCorr
 
