@@ -109,7 +109,8 @@ def _lookup_level(corr_l: jax.Array, coords: jax.Array, level: int, radius: int)
                       preferred_element_type=jnp.float32)
     # out[..., ix, iy]: x-major window order (reference flattens with
     # delta[...,0] added to x, core/corr.py:33-44)
-    out = jnp.einsum("bnxw,bnyw->bnxy", ox, rows,
+    out = jnp.einsum("bnxw,bnyw->bnxy", ox.astype(corr_l.dtype),
+                     rows.astype(corr_l.dtype),
                      preferred_element_type=jnp.float32)
     k = 2 * radius + 1
     return out.reshape(b, n, k * k)
