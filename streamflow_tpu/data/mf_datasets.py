@@ -242,6 +242,11 @@ class KITTIMultiFrame(ClipDataset):
         flow_root = osp.join(multi_root, split, "flow_occ")
         starts = [9] if t4 else list(range(9, 9 - nframes + 2, -1))
         for seq in range(200):
+            # the reference hard-codes 200 sequences; skip absent ones so a
+            # partial/missing multi-kitti root yields an empty dataset rather
+            # than records that crash at load time
+            if not osp.exists(osp.join(img_root, f"{seq:06d}_10.png")):
+                continue
             for start in starts:
                 frames = list(range(start, start + nframes))
                 imgs = [osp.join(img_root, f"{seq:06d}_{i:02d}.png")
@@ -268,6 +273,8 @@ class KITTIMultiFrameEval(ClipDataset):
         img_root = osp.join(multi_root, split, "image_2")
         flow_root = osp.join(multi_root, split, "flow_occ")
         for seq in range(200):
+            if not osp.exists(osp.join(img_root, f"{seq:06d}_10.png")):
+                continue
             frames = list(range(12 - nframes, 12))
             imgs = [osp.join(img_root, f"{seq:06d}_{i:02d}.png") for i in frames]
             gt = None if self.is_test else osp.join(flow_root, f"{seq:06d}_10.png")
