@@ -154,6 +154,76 @@ def validate_spring(model, params, root="datasets/spring", iters=15,
     return res
 
 
+class JittedForward2F:
+    """Shape-bucketed jitted forward for the two-frame baselines (RAFT/GMA/
+    SKFlow), returning the upsampled final flow."""
+
+    def __init__(self, model, params, iters: int):
+        self.model = model
+        self.params = params
+        self.iters = iters
+        self._cache: Dict = {}
+
+    def __call__(self, im1, im2):
+        key = im1.shape
+        if key not in self._cache:
+            it = self.iters
+
+            @jax.jit
+            def fwd(params, a, b):
+                _, up = self.model.apply(params, a, b, iters=it,
+                                         test_mode=True)
+                return up
+
+            self._cache[key] = fwd
+        return self._cache[key](self.params, im1, im2)
+
+
+def validate_chairs(model, params, root="datasets/FlyingChairs_release/data",
+                    iters=24) -> Dict[str, float]:
+    """Two-frame FlyingChairs validation split (reference validate_chairs,
+    evaluate_mf.py:375-400)."""
+    from streamflow_tpu.data.datasets import FlyingChairs
+
+    fwd = JittedForward2F(model, params, iters)
+    ds = FlyingChairs(None, split="validation", root=root)
+    epes = []
+    for i in range(len(ds)):
+        s = ds.load(i)
+        im1 = jnp.asarray(s["images"][0][None], jnp.float32)
+        im2 = jnp.asarray(s["images"][1][None], jnp.float32)
+        flow = np.asarray(fwd(im1, im2))[0]
+        epes.append(_epe_map(flow, s["flows"][0]).reshape(-1))
+    epe = float(np.concatenate(epes).mean())
+    print(f"Validation Chairs EPE: {epe:.4f}")
+    return {"chairs_epe": epe}
+
+
+def validate_sintel_2f(model, params, root="datasets/sintel", iters=32,
+                       dstypes=("clean", "final")) -> Dict[str, float]:
+    """Two-frame Sintel validation for the RAFT-family baselines (reference
+    validate_sintel, evaluate_mf.py:405-440)."""
+    from streamflow_tpu.data.datasets import MpiSintel
+
+    fwd = JittedForward2F(model, params, iters)
+    results = {}
+    for dstype in dstypes:
+        ds = MpiSintel(None, split="training", root=root, dstype=dstype)
+        epes = []
+        for i in range(len(ds)):
+            s = ds.load(i)
+            imgs = s["images"][:, None]  # (2, 1, H, W, 3)
+            padder = InputPadder(imgs.shape[-3:], mode="sintel")
+            im1, im2 = padder.pad(jnp.asarray(imgs[0], jnp.float32)), \
+                padder.pad(jnp.asarray(imgs[1], jnp.float32))
+            flow = np.asarray(padder.unpad(fwd(im1, im2)))[0]
+            epes.append(_epe_map(flow, s["flows"][0]).reshape(-1))
+        epe_all = np.concatenate(epes)
+        results[f"{dstype}_epe_2f"] = float(epe_all.mean())
+        print(f"Validation 2f ({dstype}) EPE: {results[f'{dstype}_epe_2f']:.4f}")
+    return results
+
+
 def validate_kitti_tiled(model, params, multi_root="datasets/multi-kitti",
                          iters=15, nframes=4, patch_size=(432, 960),
                          min_overlap=20, sigma=0.05) -> Dict[str, float]:

@@ -12,6 +12,7 @@ from PIL import Image
 
 from streamflow_tpu.config import StreamFlowConfig
 from streamflow_tpu.data import frame_utils
+from streamflow_tpu.config import RAFTConfig  # noqa
 from streamflow_tpu.models import create_model
 
 H, W, T = 64, 96, 4
@@ -78,3 +79,20 @@ def test_sintel_submission_writes_flo(sintel_root, model_and_params, tmp_path):
         f"frame{i:04d}.flo" for i in range(1, 5)]
     fl = frame_utils.read_flo(files[0])
     assert fl.shape == (H, W, 2)
+
+
+def test_validate_sintel_2f_raft(sintel_root):
+    """Two-frame validator drives a RAFT baseline end to end."""
+    from streamflow_tpu.config import RAFTConfig
+    from streamflow_tpu.evaluation import validate_sintel_2f
+
+    cfg = RAFTConfig(iters=2, mixed_precision=False)
+    model = create_model("raft", cfg=cfg)
+    import jax.numpy as jnp
+
+    im = jnp.zeros((1, H, W, 3))
+    params = jax.jit(lambda k, a, b: model.init(k, a, b, test_mode=True))(
+        jax.random.PRNGKey(0), im, im)
+    res = validate_sintel_2f(model, params, root=sintel_root, iters=2,
+                             dstypes=("clean",))
+    assert np.isfinite(res["clean_epe_2f"]) and res["clean_epe_2f"] > 0.0
