@@ -71,11 +71,12 @@ class FlyingThings3D(ClipDataset):
     def __init__(self, aug_params=None, root="datasets/flyingthings3d",
                  dstype="frames_cleanpass", split="training"):
         super().__init__(aug_params)
+        sdir = "TRAIN" if split == "training" else "TEST"
         for cam in ["left"]:
             for direction in ["into_future", "into_past"]:
-                image_dirs = sorted(glob(osp.join(root, dstype, "TRAIN/*/*")))
+                image_dirs = sorted(glob(osp.join(root, dstype, f"{sdir}/*/*")))
                 image_dirs = sorted(osp.join(f, cam) for f in image_dirs)
-                flow_dirs = sorted(glob(osp.join(root, "optical_flow/TRAIN/*/*")))
+                flow_dirs = sorted(glob(osp.join(root, f"optical_flow/{sdir}/*/*")))
                 flow_dirs = sorted(osp.join(f, direction, cam) for f in flow_dirs)
                 for idir, fdir in zip(image_dirs, flow_dirs):
                     images = sorted(glob(osp.join(idir, "*.png")))

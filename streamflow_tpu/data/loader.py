@@ -62,9 +62,11 @@ class DataLoader:
                         return
                     lo = b * self.bs
                     samples = list(pool.map(load_one, range(lo, lo + self.bs)))
+                    # stack every array key the dataset provides (bithings
+                    # adds flows_bw/valids_bw; eval datasets add frame_ids)
                     batch = {
                         k: np.stack([s[k] for s in samples])
-                        for k in ("images", "flows", "valids")
+                        for k in samples[0]
                     }
                     q.put(batch)
             q.put(None)
@@ -82,3 +84,32 @@ class DataLoader:
 
     def __iter__(self):
         return self.epoch(0)
+
+
+def prefetch_to_device(batches, mesh=None, depth: int = 2):
+    """Host->device double buffering: keep ``depth`` batches already
+    transferred (and sharded over the mesh's 'data' axis when given) while
+    the device computes on the current one. The reference has no analogue —
+    its DataLoader hands CPU tensors to a blocking .cuda() copy every step
+    (train_mf.py:231-234)."""
+    import collections
+
+    import jax
+
+    if mesh is not None:
+        from streamflow_tpu.parallel import shard_batch
+
+        put = lambda b: shard_batch(mesh, b)
+    else:
+        put = lambda b: jax.tree_util.tree_map(jax.device_put, b)
+
+    buf = collections.deque()
+    it = iter(batches)
+    try:
+        while True:
+            while len(buf) < depth:
+                buf.append(put(next(it)))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

@@ -160,11 +160,12 @@ class FlyingThings3DMultiFrame(ClipDataset):
     def __init__(self, aug_params=None, root="datasets/flyingthings3d",
                  split="training", dstype="frames_cleanpass", nframes=4):
         super().__init__(aug_params)
+        sdir = "TRAIN" if split == "training" else "TEST"
         for cam in ["left"]:
-            image_dirs = sorted(glob(osp.join(root, dstype, "TRAIN/*/*")))
+            image_dirs = sorted(glob(osp.join(root, dstype, f"{sdir}/*/*")))
             image_dirs = sorted(osp.join(f, cam) for f in image_dirs)
             for direction in ["into_future", "into_past"]:
-                flow_dirs = sorted(glob(osp.join(root, "optical_flow/TRAIN/*/*")))
+                flow_dirs = sorted(glob(osp.join(root, f"optical_flow/{sdir}/*/*")))
                 flow_dirs = sorted(osp.join(f, direction, cam) for f in flow_dirs)
                 for idir, fdir in zip(image_dirs, flow_dirs):
                     images = sorted(glob(osp.join(idir, "*.png")))
@@ -391,12 +392,40 @@ class BiFlyingThings3DMultiFrame(ClipDataset):
                     i += nframes - 1
 
     def load(self, index, rng=None):
-        sample = super().load(index, rng)
-        if self.augmentor is None:
-            bw = [np.asarray(frame_utils.read_gen(p), np.float32)
-                  for p in self.bw_flows[index % len(self.records)]]
-            sample["flows_bw"] = np.stack(bw)
-        return sample
+        i = index % len(self.records)
+        rec = self.records[i]
+        rng = rng or np.random.default_rng()
+
+        imgs = [frame_utils.read_image(p) for p in rec.images]
+        fw = [np.asarray(frame_utils.read_gen(p), np.float32)
+              for p in rec.flows]
+        bw = [np.asarray(frame_utils.read_gen(p), np.float32)
+              for p in self.bw_flows[i]]
+
+        if self.augmentor is not None:
+            # ONE spatial/photometric draw applied to BOTH flow directions:
+            # rerun the augmentor with an identically-seeded generator. (The
+            # reference draws fresh randomness for the backward flows,
+            # core/mf_datasets.py:583-586, leaving them spatially
+            # inconsistent with the images — repaired here, not copied.)
+            seed = int(rng.integers(0, 2**63))
+            imgs_a, fw = self.augmentor(imgs, fw, np.random.default_rng(seed))
+            _, bw = self.augmentor(imgs, bw, np.random.default_rng(seed))
+            imgs = imgs_a
+
+        def valids_of(flows):
+            return np.stack([
+                ((np.abs(fl[..., 0]) < 1000) & (np.abs(fl[..., 1]) < 1000)
+                 ).astype(np.float32) for fl in flows])
+
+        return {
+            "images": np.stack(imgs).astype(np.float32),
+            "flows": np.stack(fw),
+            "valids": valids_of(fw),
+            "flows_bw": np.stack(bw),
+            "valids_bw": valids_of(bw),
+            "frame_ids": np.asarray(rec.frame_ids, np.int32),
+        }
 
 
 # ----------------------------------------------------------------------- mixing
@@ -464,5 +493,15 @@ def fetch_dataset(stage: str, T: int = 4, image_size=(432, 960),
         aug = dict(cs, min_scale=-0.2, max_scale=0.4, do_flip=False)
         return MixedDataset([
             (KITTIMultiFrame(multi_root, "training", aug, nframes=T, t4=(T == 4)), 1),
+        ])
+    if stage == "bithings":
+        # reference core/mf_datasets.py:1445-1450: clean+final bidirectional
+        # FlyingThings with the things-stage augmentation
+        aug = dict(cs, min_scale=-0.4, max_scale=0.8, do_flip=True)
+        return MixedDataset([
+            (BiFlyingThings3DMultiFrame(aug, things_root,
+                                        dstype="frames_cleanpass", nframes=T), 1),
+            (BiFlyingThings3DMultiFrame(aug, things_root,
+                                        dstype="frames_finalpass", nframes=T), 1),
         ])
     raise ValueError(f"unknown stage '{stage}'")

@@ -199,6 +199,72 @@ def validate_chairs(model, params, root="datasets/FlyingChairs_release/data",
     return {"chairs_epe": epe}
 
 
+def validate_things(model, params, root="datasets/flyingthings3d",
+                    iters=24) -> Dict[str, float]:
+    """Two-frame FlyingThings validation (TEST) split, clean+final
+    (reference validate_things, evaluate_mf.py:396-429)."""
+    from streamflow_tpu.data.datasets import FlyingThings3D
+
+    fwd = JittedForward2F(model, params, iters)
+    results = {}
+    for dstype in ["frames_cleanpass", "frames_finalpass"]:
+        ds = FlyingThings3D(None, root=root, dstype=dstype,
+                            split="validation")
+        epes = []
+        for i in range(len(ds)):
+            s = ds.load(i)
+            imgs = s["images"]
+            padder = InputPadder(imgs.shape[-3:], mode="sintel")
+            im1 = jnp.asarray(padder.pad(imgs[0][None]), jnp.float32)
+            im2 = jnp.asarray(padder.pad(imgs[1][None]), jnp.float32)
+            flow = np.asarray(padder.unpad(fwd(im1, im2)))[0]
+            epes.append(_epe_map(flow, s["flows"][0]).reshape(-1))
+        epe_all = np.concatenate(epes)
+        tag = dstype.replace("frames_", "").replace("pass", "")
+        results[f"things_{tag}_epe"] = float(epe_all.mean())
+        print(f"Validation ({dstype}) EPE: {epe_all.mean():.4f}, "
+              f"1px: {(epe_all < 1).mean():.4f}, "
+              f"3px: {(epe_all < 3).mean():.4f}, "
+              f"5px: {(epe_all < 5).mean():.4f}")
+    return results
+
+
+def validate_things_mf(model, params, root="datasets/flyingthings3d",
+                       iters=15, nframes=4) -> Dict[str, float]:
+    """Multi-frame FlyingThings validation: T-frame windows over the TEST
+    split, every pair's EPE counted once (the validator the reference's
+    multi-frame model lacks — its validate_things is two-frame-only and
+    cannot be called on SKFlow_MF8)."""
+    fwd = JittedForward(model, params, iters)
+    results = {}
+    for dstype in ["frames_cleanpass", "frames_finalpass"]:
+        ds = mf_datasets.FlyingThings3DMultiFrame(
+            None, root=root, dstype=dstype, split="validation",
+            nframes=nframes)
+        # stride-1 windows duplicate pairs; evaluate each window's LAST pair
+        # plus the leading pairs of each sequence's first window
+        epes = []
+        prev_scene = None
+        for i in range(len(ds)):
+            rec = ds.records[i]
+            s = ds.load(i)
+            imgs = s["images"][None]
+            padder = InputPadder(imgs.shape[-3:], mode="sintel")
+            flows = fwd(jnp.asarray(padder.pad(imgs)))
+            flows = np.asarray(padder.unpad(flows))[0]
+            pairs = (range(nframes - 1) if rec.scene != prev_scene
+                     else [nframes - 2])
+            for p in pairs:
+                epes.append(_epe_map(flows[p], s["flows"][p]).reshape(-1))
+            prev_scene = rec.scene
+        epe_all = np.concatenate(epes)
+        tag = dstype.replace("frames_", "").replace("pass", "")
+        results[f"things_{tag}_epe"] = float(epe_all.mean())
+        print(f"Validation mf ({dstype}) EPE: {epe_all.mean():.4f}, "
+              f"1px: {(epe_all < 1).mean():.4f}")
+    return results
+
+
 def validate_sintel_2f(model, params, root="datasets/sintel", iters=32,
                        dstypes=("clean", "final")) -> Dict[str, float]:
     """Two-frame Sintel validation for the RAFT-family baselines (reference

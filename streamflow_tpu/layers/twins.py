@@ -154,25 +154,21 @@ class GlobalSubSampleAttn(nn.Module):
         k = kv[:, :, 0].transpose(0, 2, 1, 3)  # (B, nh, M, hd)
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
 
-        def attend(qc):
-            a = jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+        # Above ~32k tokens the materialized (n, m) logits stop being free:
+        # the fp32 score matrix is n*m*heads*4 bytes (3.2 GB at 440x1024
+        # stage 1), and even a chunked lax.map round-trips ~6 GB of fp32
+        # logits through HBM (~12 ms/clip measured on v5e). The flash path
+        # (Pallas kernel on TPU, streaming-softmax scan elsewhere) keeps the
+        # logits in VMEM: exact same math, O(n) memory.
+        if self.chunk or n > 16384:
+            from streamflow_tpu.ops.pallas.attention import flash_attention
+
+            out = flash_attention(q, k, v, scaled=True)
+        else:
+            a = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                            preferred_element_type=jnp.float32)
             a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
-            return jnp.einsum("bhqk,bhkd->bhqd", a, v)
-
-        # Auto-chunk at high resolution: the (n, m) attention map otherwise
-        # costs n*m*heads fp32 (3.2 GB at 440x1024 stage 1).
-        chunk = self.chunk or (8192 if n > 32768 else 0)
-        if chunk and n > chunk:
-            pad = (-n) % chunk
-            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
-            steps = (n + pad) // chunk
-            qc = qp.reshape(b, nh, steps, chunk, hd).transpose(2, 0, 1, 3, 4)
-            out = jax.lax.map(attend, qc)
-            out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n + pad, hd)
-            out = out[:, :, :n]
-        else:
-            out = attend(q)
+            out = jnp.einsum("bhqk,bhkd->bhqd", a, v)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)

@@ -52,7 +52,8 @@ _TWINS_VARIANTS = {
 }
 
 
-def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str):
+def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
+                  train: bool = False):
     if cfg.encoder in _TWINS_VARIANTS:
         return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk, dtype=dtype,
                                             name=name)
@@ -62,9 +63,11 @@ def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str):
         return UMT(dtype=dtype, name=name)
     if cfg.encoder in ("basic", "resnet18"):
         # reference ResNet18 encoder (core/encoders/resnet18.py:119-187) is
-        # the RAFT CNN lifted over T with output_dim=256
+        # the RAFT CNN lifted over T with output_dim=256; ``train`` reaches
+        # the BatchNorm layers (batch-norm cnet trains its running stats,
+        # reference core/models/streamflow.py:46)
         return _PerFrameBasicEncoder(output_dim=256, norm_fn=norm_fn,
-                                     dtype=dtype, name=name)
+                                     train=train, dtype=dtype, name=name)
     raise ValueError(f"unknown encoder '{cfg.encoder}'")
 
 
@@ -100,7 +103,8 @@ class _RefinementStep(nn.Module):
         b, f, h, w, _ = net.shape
 
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = pyramid.lookup(coords1.reshape(b * f, h, w, 2))
+        corr = pyramid.lookup(coords1.reshape(b * f, h, w, 2),
+                              out_dtype=self.dtype)
         corr = corr.reshape(b, f, h, w, -1)
         flow = coords1 - coords0
 
@@ -155,9 +159,11 @@ class StreamFlow(nn.Module):
         if dtype is not None:
             x = x.astype(dtype)
 
-        fmaps = _make_encoder(cfg, dtype, "instance", "fnet")(x)
-        fmaps = fmaps.astype(jnp.float32)
-        cnets = _make_encoder(cfg, dtype, "batch", "cnet")(x[:, :-1])
+        # fmaps stay in the encoder dtype: bf16 x bf16 MXU products with fp32
+        # accumulation give bit-identical volumes to upcasting first (bf16
+        # products are exact in fp32), at 2x the matmul rate and half the HBM.
+        fmaps = _make_encoder(cfg, dtype, "instance", "fnet", train)(x)
+        cnets = _make_encoder(cfg, dtype, "batch", "cnet", train)(x[:, :-1])
 
         h, w = fmaps.shape[2], fmaps.shape[3]
 
@@ -169,11 +175,6 @@ class StreamFlow(nn.Module):
             from streamflow_tpu.ops.pallas.corr import PallasCorr
 
             pyramid = PallasCorr.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
-        elif cfg.corr_impl == "pallas_window":
-            from streamflow_tpu.ops.pallas.corr import WindowCorr
-
-            pyramid = WindowCorr.build(f1, f2, cfg.corr_levels,
-                                       cfg.corr_radius, store_dtype=dtype)
         elif cfg.corr_impl == "chunked":
             from streamflow_tpu.ops.corr import ChunkedCorr
 

@@ -149,16 +149,23 @@ class CorrPyramid:
             levels = [l.astype(store_dtype) for l in levels]
         return cls(levels=tuple(levels), radius=radius, h=h, w=w)
 
-    def lookup(self, coords: jax.Array) -> jax.Array:
-        """coords: (B, H, W, 2) pixel xy -> (B, H, W, L*(2r+1)^2) fp32."""
+    def lookup(self, coords: jax.Array, out_dtype=None) -> jax.Array:
+        """coords: (B, H, W, 2) pixel xy -> (B, H, W, L*(2r+1)^2).
+
+        ``out_dtype`` controls the dtype the per-level windows are emitted in
+        (default fp32, matching the reference's corr.float()). Under mixed
+        precision the consumer (convc1) runs bf16 anyway — emitting bf16 here
+        halves the concat/reshape traffic and keeps the downstream SK blocks
+        from being promoted to fp32 by the residual adds."""
         b, h, w, _ = coords.shape
+        out_dtype = out_dtype or jnp.float32
         pts = coords.reshape(b, h * w, 2)
         outs = [
-            _lookup_level(lvl, pts, i, self.radius)
+            _lookup_level(lvl, pts, i, self.radius).astype(out_dtype)
             for i, lvl in enumerate(self.levels)
         ]
         out = jnp.concatenate(outs, axis=-1)
-        return out.reshape(b, h, w, -1).astype(jnp.float32)
+        return out.reshape(b, h, w, -1)
 
 
 def corr_lookup(
@@ -202,8 +209,9 @@ class ChunkedCorr:
         return cls(fmap1=fmap1, f2_levels=tuple(levels), radius=radius,
                    chunk=chunk)
 
-    def lookup(self, coords: jax.Array) -> jax.Array:
+    def lookup(self, coords: jax.Array, out_dtype=None) -> jax.Array:
         b, h, w, _ = coords.shape
+        out_dtype = out_dtype or jnp.float32
         c = self.fmap1.shape[-1]
         n = h * w
         scale = 1.0 / math.sqrt(c)
@@ -234,4 +242,4 @@ class ChunkedCorr:
 
         out = jax.lax.map(one_chunk, (f1, pts))  # (steps, B, chunk, 324)
         out = out.transpose(1, 0, 2, 3).reshape(b, n + n_pad, -1)
-        return out[:, :n].reshape(b, h, w, -1).astype(jnp.float32)
+        return out[:, :n].reshape(b, h, w, -1).astype(out_dtype)

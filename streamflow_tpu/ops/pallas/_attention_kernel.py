@@ -68,8 +68,13 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention_tpu(q, k, v, block_q: int = 256, block_k: int = 512):
-    """q, k, v: (B, H, N, D) with q pre-scaled. Returns (B, H, Nq, D)."""
+def flash_attention_tpu(q, k, v, block_q: int = 512, block_k: int = 2048):
+    """q, k, v: (B, H, N, D) with q pre-scaled. Returns (B, H, Nq, D).
+
+    Block tuning: when the kv axis is short (GSA's sub-sampled keys are
+    n/64), a single kv block per q block removes every online-softmax
+    renormalization pass — the VPU transcendental chain (max/exp/sum) is the
+    bottleneck at small head_dim, not the MXU matmuls."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     bh = b * h

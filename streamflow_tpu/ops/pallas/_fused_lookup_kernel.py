@@ -1,0 +1,235 @@
+"""Fused correlation lookup (v5): volume recompute + window extraction in one
+Pallas kernel, fully vectorized over queries.
+
+Replaces the reference composite `matmul -> avg_pool pyramid -> grid_sample
+gather` (core/corr.py:13-44) per refinement iteration. The (N, N) volume
+never exists: per query block the kernel recomputes volume planes on the MXU
+from fmap1 and the pooled-fmap2 pyramid and extracts each query's radius
+window on the VPU.
+
+Why this shape (r1/r2 lessons): per-query inner loops (r1 kernels) and
+per-query batched-tiny-matmuls (the XLA one-hot path) are dispatch-bound at
+~1 ms per level per iteration regardless of data size; lane-granular
+slice/roll sequences (v4) lower poorly in Mosaic. v5 is built on the two
+primitives the VPU executes natively — dense (Q,128) FMAs and the per-row
+lane gather (DynamicGather, single 128-lane tile) — with NO per-query work:
+
+  for h in [hmin, hmax):                     # dynamic row range, U-unrolled
+    plane = f1_block @ f2_l[h].T             # (Q, wp) fp32, MXU
+    win   = lane_gather(plane, s + j_of)     # per-query x-window, broadcast
+                                             # to output lanes (i,j) = j*k+i
+    acc  += ybilerp_weight(h)[i_of] * win    # ONE masked FMA per plane
+
+  out = acc*(1-fx) + lane_gather(acc, +k)*fx # x-bilerp in lane space
+
+The accumulator lanes ARE the reference channel order (x-major windows,
+core/corr.py:33-44), so the output needs no permutation — lanes [0, 81) of
+each level's 128-lane group are the 324-channel corr features.
+
+Out-of-range taps: f2 carries zero padding left/right (grid_sample zero
+semantics for free); out-of-range y rows match no lane weight. The scale
+1/sqrt(C) is folded into the y weights; accumulation is fp32.
+
+Cost model at 440x1024 (Q=512, C=256): MXU ~76 GMAC/iteration (dense volume
+recompute incl. lane padding), VPU ~2.5M vector-ops/iteration, HBM ~50
+MB/iteration vs ~400 MB/iteration for reading a materialized bf16 volume.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD_L = 16  # zero columns left of every f2 level: the clamped window
+            # origin s = x0 - r + PAD_L must stay >= 0 for x0 >= -(r+3)
+            # (Mosaic's lane gather wraps negative indices, it does not
+            # clamp like XLA gather - found by the on-device parity diff)
+UNROLL = 4  # volume planes per loop step (one MXU matmul feeds U extractions)
+
+
+def _wp_of(wl: int, r: int) -> int:
+    """Padded plane width: PAD_L + wl + right pad for the largest tap
+    (s + j <= wl + 2r + 11), rounded to a whole number of 128-lane tiles
+    (the lane gather operates on single tiles; two tiles max)."""
+    need = PAD_L + wl + 2 * r + 12
+    wp = 128 if need <= 128 else 256
+    assert need <= wp, f"level width {wl} exceeds two lane tiles"
+    return wp
+
+
+def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
+                  scale: float):
+    n_levels = len(meta)
+    f2_refs = refs[:n_levels]
+    out_ref = refs[n_levels]
+    acc_ref = refs[n_levels + 1]   # VMEM scratch (Q, 128) fp32
+    r = radius
+    k = 2 * r + 1
+
+    f1c = f1_ref[0]  # (Q, C)
+    q_dim = f1c.shape[0]
+
+    # static lane decomposition: lane -> (i, j) with lane = j*k + i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q_dim, 128), 1)
+    i_of = lane % k
+    j_of = lane // k          # 0..14; lanes >= k*(k+1) are scratch
+
+    for l, (hl, wl) in enumerate(meta):
+        wp = _wp_of(wl, r)
+        y0 = idx_ref[0, :, 2 * l:2 * l + 1]          # (Q, 1) int32
+        x0 = idx_ref[0, :, 2 * l + 1:2 * l + 2]      # (Q, 1) int32
+        fy = frac_ref[0, :, 2 * l:2 * l + 1]         # (Q, 1) f32
+        fx = frac_ref[0, :, 2 * l + 1:2 * l + 2]
+
+        s = x0 - r + PAD_L                           # window origin, >= 0
+        gidx = s + j_of                              # (Q, 128) tap lanes
+
+        hmin = jnp.maximum(jnp.min(y0) - r, 0)
+        hmax = jnp.minimum(jnp.max(y0) + r + 2, hl)
+        steps = (hmax - hmin + UNROLL - 1) // UNROLL
+
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+        if wp > 128:
+            gidx_a = jnp.minimum(gidx, 127)
+            gidx_b = jnp.clip(gidx - 128, 0, 127)
+            in_a = gidx < 128
+        else:
+            gidx_a = gidx_b = in_a = None
+
+        def body(step, _, l=l, y0=y0, fy=fy, fx=fx, hmin=hmin, wp=wp,
+                 gidx=gidx, gidx_a=gidx_a, gidx_b=gidx_b, in_a=in_a):
+            h0 = hmin + step * UNROLL
+            slab = f2_refs[l][0, pl.ds(h0, UNROLL)]  # (U, wp, C)
+            plane = jax.lax.dot_general(
+                f1c, slab.reshape(UNROLL * wp, slab.shape[-1]),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (Q, U*wp)
+            for u in range(UNROLL):
+                pu = plane[:, u * wp:(u + 1) * wp]
+                if wp > 128:
+                    ga = jnp.take_along_axis(pu[:, :128], gidx_a, axis=1)
+                    gb = jnp.take_along_axis(pu[:, 128:], gidx_b, axis=1)
+                    win = jnp.where(in_a, ga, gb)
+                else:
+                    win = jnp.take_along_axis(pu, gidx, axis=1)
+                d = (h0 + u) - (y0 - r)              # (Q, 1)
+                wgt = (jnp.where(d == i_of, 1.0 - fy, 0.0)
+                       + jnp.where(d == i_of + 1, fy, 0.0)) * scale
+                acc_ref[...] = acc_ref[...] + wgt * win
+            return 0
+
+        jax.lax.fori_loop(0, steps, body, 0)
+
+        # x-bilerp in lane space: tap j and j+1 sit k lanes apart
+        acc = acc_ref[...]
+        shifted = jnp.take_along_axis(acc, jnp.minimum(lane + k, 127), axis=1)
+        out_l = acc * (1.0 - fx) + shifted * fx
+        out_ref[0, :, l * 128:(l + 1) * 128] = out_l.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "out_dtype", "block_q", "interpret"))
+def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
+                      out_dtype=None, block_q: int = 512,
+                      interpret: bool = False):
+    """fmap1 (B,H,W,C); f2_levels: pooled fmap2 pyramid [(B,Hl,Wl,C)];
+    coords (B,H,W,2) level-0 pixel xy. Returns (B,H,W,L*(2r+1)^2), channels
+    level-major then x-major windows (reference layout)."""
+    b, h, w, c = fmap1.shape
+    n = h * w
+    r = radius
+    k = 2 * r + 1
+    assert k * (k + 1) <= 128, "window layout exceeds one lane tile"
+    n_levels = len(f2_levels)
+    out_dtype = out_dtype or jnp.float32
+    scale = 1.0 / math.sqrt(c)
+
+    f1 = fmap1.reshape(b, n, c)
+    pts = coords.reshape(b, n, 2).astype(jnp.float32)
+
+    meta = []
+    f2p = []
+    idx_cols, frac_cols = [], []
+    for l, f2 in enumerate(f2_levels):
+        hl, wl = f2.shape[1], f2.shape[2]
+        meta.append((hl, wl))
+        wp = _wp_of(wl, r)
+        # right pad to the tile width + UNROLL-1 zero rows at the bottom so
+        # the unrolled slab slice never clamps
+        f2p.append(jnp.pad(
+            f2, ((0, 0), (0, UNROLL - 1), (PAD_L, wp - PAD_L - wl), (0, 0))))
+        ctr = pts / (2.0 ** l)
+        # clamps keep the padded window origin s in [0, wp-2r-11] while
+        # fully-out-of-range windows read only zero padding
+        cy = jnp.clip(ctr[..., 1], -(r + 3.0), hl + r + 3.0)
+        cx = jnp.clip(ctr[..., 0], -(r + 3.0), wl + r + 3.0)
+        y0 = jnp.floor(cy)
+        x0 = jnp.floor(cx)
+        idx_cols += [y0.astype(jnp.int32), x0.astype(jnp.int32)]
+        frac_cols += [cy - y0, cx - x0]
+    idx = jnp.stack(idx_cols, axis=-1)    # (B, N, 2L)
+    frac = jnp.stack(frac_cols, axis=-1)  # (B, N, 2L)
+
+    block_q = min(block_q, max(128, n))
+    n_pad = (-n) % block_q
+    if n_pad:
+        f1 = jnp.pad(f1, ((0, 0), (0, n_pad), (0, 0)))
+        # padded queries: clamped all-out-of-range windows -> zeros
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad), (0, 0)),
+                      constant_values=-(r + 3))
+        frac = jnp.pad(frac, ((0, 0), (0, n_pad), (0, 0)))
+    n_tot = n + n_pad
+
+    grid = (b, n_tot // block_q)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, meta=tuple(meta), radius=r,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels * 128), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * n_levels), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q, 2 * n_levels), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+        ] + [
+            pl.BlockSpec((1, hl + UNROLL - 1, _wp_of(wl, r), c),
+                         lambda bi, qi: (bi, 0, 0, 0))
+            for (hl, wl) in meta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, n_levels * 128),
+                               lambda bi, qi: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idx, frac, f1, *f2p)
+
+    out = out[:, :n].reshape(b, h, w, n_levels, 128)[..., :k * k]
+    return out.reshape(b, h, w, n_levels * k * k)
+
+
+def pool_pyramid(fmap2, num_levels: int = 4):
+    """Pooled fmap2 pyramid: exact torch avg_pool2d(2,2) semantics (VALID,
+    drops odd remainders). Pooling features commutes with the volume dot
+    product, so looking up level l of the pooled-feature volume equals the
+    reference's pooled-volume lookup (core/corr.py:19-21)."""
+    levels = [fmap2]
+    for _ in range(num_levels - 1):
+        x = levels[-1]
+        h2 = (x.shape[1] // 2) * 2
+        w2 = (x.shape[2] // 2) * 2
+        x = x[:, :h2, :w2]
+        s = (x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+             + x[:, 1::2, 0::2] + x[:, 1::2, 1::2])
+        levels.append(s * 0.25)
+    return levels

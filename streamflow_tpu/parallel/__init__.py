@@ -4,5 +4,7 @@ from streamflow_tpu.parallel.mesh import (
     replicate,
     data_sharding,
 )
+from streamflow_tpu.parallel.seq import make_seq_sharded_forward
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
+           "make_seq_sharded_forward"]

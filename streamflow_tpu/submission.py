@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import re
 from typing import Optional
 
 import jax.numpy as jnp
@@ -148,7 +149,12 @@ def create_spring_submission(model, params, root="datasets/spring",
                 continue
             out_dir = osp.join(output_path, scene, f"flow_{tag}_{cam}")
             os.makedirs(out_dir, exist_ok=True)
-            idx = fid + 1 if tag == "FW" else len(ds.records) - fid
+            # The .flo5 index is the 1-based frame number of the pair's FIRST
+            # frame (reference numbering: FW j+1 / BW len-j,
+            # core/mf_datasets.py:63,79; evaluate_mf.py:47). Spring filenames
+            # are 1-based contiguous, so it is exactly the number in the
+            # pair's first image filename — in both directions.
+            idx = int(re.findall(r"(\d+)", osp.basename(rec.images[p]))[-1])
             frame_utils.write_flo5(
                 osp.join(out_dir, f"flow_{tag}_{cam}_{idx:04d}.flo5"),
                 flows[p])

@@ -27,17 +27,24 @@ def make_train_step(
     gamma: float = 0.8,
     iters: int = 12,
     kitti_last_pair_only: bool = False,
+    bidirectional: bool = False,
 ):
     """Returns step(state, batch) -> (state, metrics).
 
     batch: {"images": (B,T,H,W,3), "flows": (B,F,H,W,2), "valids": (B,F,H,W)}.
     For the kitti stage the reference supervises only the final frame pair
     (train_mf.py:240-241).
-    """
 
-    def loss_fn(params, batch):
-        preds = model.apply(params, batch["images"], iters=iters, train=True)
-        flows, valids = batch["flows"], batch["valids"]
+    ``bidirectional`` (the bithings stage): the batch additionally carries
+    "flows_bw"/"valids_bw" (into_past GT per pair); the model runs a second
+    forward on the time-reversed clip, whose pair q predicts the backward
+    flow of original pair F-1-q, and both directions are supervised. This is
+    the TPU-native form of the reference's bidirectional supervision (its
+    Bi_* decoder ablations, core/update.py:1157-1235, were never wired into
+    a runnable train path — SURVEY §7.4)."""
+
+    def one_direction(apply_fn, images, flows, valids):
+        preds = apply_fn(images)
         if kitti_last_pair_only:
             preds = preds[:, :, -1:]
             flows = flows[:, -1:]
@@ -53,16 +60,45 @@ def make_train_step(
                 metrics = mi
         return total, metrics
 
+    def loss_fn(params, model_state, batch):
+        new_state = model_state
+
+        def apply_fn(images):
+            nonlocal new_state
+            variables = {**params, **model_state}
+            if model_state:
+                # BatchNorm-bearing encoders: run with mutable batch_stats
+                # so the running statistics update (and are NOT optimized).
+                out, ups = model.apply(variables, images, iters=iters,
+                                       train=True,
+                                       mutable=list(model_state))
+                new_state = ups
+                return out
+            return model.apply(variables, images, iters=iters, train=True)
+
+        total, metrics = one_direction(apply_fn, batch["images"],
+                                       batch["flows"], batch["valids"])
+        if bidirectional:
+            # reversed-clip pair q <-> backward flow of original pair F-1-q
+            bt, mb = one_direction(apply_fn, batch["images"][:, ::-1],
+                                   batch["flows_bw"][:, ::-1],
+                                   batch["valids_bw"][:, ::-1])
+            total = total + bt
+            metrics = dict(metrics, epe_bw=mb["epe"])
+        return total, (metrics, new_state)
+
     def step(state: TrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, model_state)), grads = grad_fn(
+            state.params, state.model_state, batch
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss,
                        grad_norm=optax.global_norm(grads))
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), metrics
+                          step=state.step + 1,
+                          model_state=model_state), metrics
 
     return step
 

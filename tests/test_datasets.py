@@ -172,3 +172,55 @@ def test_spring_dataset_and_eval(tmp_path):
 
 def _write_png_sized(path, rng, h, w):
     Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+def test_bithings_consistent_bidirectional_augmentation(tmp_path):
+    """BiFlyingThings3D: fw and bw flows must receive the SAME augmentation
+    draw (repairing the reference's fresh second draw,
+    core/mf_datasets.py:583-586). With bw files == fw files, augmented
+    flows_bw must equal flows exactly; fetch_dataset('bithings') must load."""
+    import numpy as np
+    from PIL import Image
+    from streamflow_tpu.data import frame_utils
+    from streamflow_tpu.data.mf_datasets import (
+        BiFlyingThings3DMultiFrame, fetch_dataset)
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "things"
+    H, W, N = 96, 128, 5
+    for dstype in ["frames_cleanpass", "frames_finalpass"]:
+        idir = root / dstype / "TRAIN" / "A" / "0000" / "left"
+        idir.mkdir(parents=True)
+        for i in range(N):
+            Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+                            ).save(idir / f"{i:04d}.png")
+    fdir = root / "optical_flow" / "TRAIN" / "A" / "0000"
+    for sub in ["into_future", "into_past"]:
+        (fdir / sub / "left").mkdir(parents=True)
+    flows = [rng.standard_normal((H, W, 2)).astype(np.float32) * 3
+             for _ in range(N)]
+    for i in range(N):
+        # identical fields in both directions -> augmented outputs must match
+        frame_utils.write_pfm(
+            str(fdir / "into_future" / "left" / f"{i:04d}.pfm"),
+            np.concatenate([flows[i], np.zeros((H, W, 1), np.float32)], -1))
+        frame_utils.write_pfm(
+            str(fdir / "into_past" / "left" / f"{i:04d}.pfm"),
+            np.concatenate([flows[i - 1], np.zeros((H, W, 1), np.float32)], -1))
+
+    aug = {"crop_size": (64, 96), "min_scale": -0.2, "max_scale": 0.4,
+           "do_flip": True}
+    ds = BiFlyingThings3DMultiFrame(aug, str(root), nframes=4)
+    assert len(ds) > 0
+    s = ds.load(0, np.random.default_rng(3))
+    assert s["images"].shape == (4, 64, 96, 3)
+    assert s["flows"].shape == s["flows_bw"].shape == (3, 64, 96, 2)
+    # pair p: fw = flow[p], bw file content = flow[p] as well (into_past at
+    # p+1 was written as flows[p]) -> identical after the shared aug draw
+    np.testing.assert_array_equal(s["flows"], s["flows_bw"])
+
+    mix = fetch_dataset("bithings", T=4, image_size=(64, 96),
+                        things_root=str(root))
+    assert len(mix) == 2 * len(ds)
+    s2 = mix.load(0, np.random.default_rng(5))
+    assert "flows_bw" in s2 and "valids_bw" in s2

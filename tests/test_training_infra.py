@@ -131,3 +131,104 @@ def test_sharded_train_step_virtual_mesh(n_dev):
     assert int(state.step) == 2
     assert np.isfinite(float(m2["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])  # same batch -> must improve
+
+
+def test_bidirectional_train_step_virtual_mesh():
+    """bithings: sharded train step with fw+bw supervision on a synthetic
+    bidirectional batch (reference stage recipe core/mf_datasets.py:1445-1450)."""
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.parallel import make_mesh, replicate, shard_batch
+    from streamflow_tpu.training.state import TrainState
+    from streamflow_tpu.training.step import make_train_step, shard_train_step
+
+    n_dev = 8
+    mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+    rng = np.random.default_rng(1)
+    B, T, H, W = n_dev, 4, 64, 64
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)),
+                              dtype=jnp.float32),
+        "flows": jnp.asarray(0.1 * rng.standard_normal((B, T - 1, H, W, 2)),
+                             dtype=jnp.float32),
+        "valids": jnp.ones((B, T - 1, H, W), jnp.float32),
+        "flows_bw": jnp.asarray(
+            0.1 * rng.standard_normal((B, T - 1, H, W, 2)), dtype=jnp.float32),
+        "valids_bw": jnp.ones((B, T - 1, H, W), jnp.float32),
+    }
+    cfg = StreamFlowConfig(T=T, iters=1, mixed_precision=False)
+    model = create_model("streamflow", cfg=cfg)
+    params = jax.jit(lambda k, x: model.init(k, x, iters=1))(
+        jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(1e-4, 100)
+    state = TrainState.create(params, tx)
+    with mesh:
+        state = replicate(mesh, state)
+        sb = shard_batch(mesh, batch)
+        step = shard_train_step(
+            make_train_step(model, tx, 0.85, iters=1, bidirectional=True),
+            mesh)
+        state, m1 = step(state, sb)
+        state, m2 = step(state, sb)
+    assert np.isfinite(float(m2["loss"])) and np.isfinite(float(m2["epe_bw"]))
+    assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_batchnorm_stats_update_basic_encoder():
+    """encoder='basic' (BatchNorm cnet): the train step must update the
+    running batch statistics through the mutable collection and must NOT
+    hand them to the optimizer (VERDICT r1 weak #6)."""
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.training.state import TrainState
+    from streamflow_tpu.training.step import make_train_step
+
+    rng = np.random.default_rng(2)
+    B, T, H, W = 2, 4, 64, 64
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)),
+                              dtype=jnp.float32),
+        "flows": jnp.asarray(0.1 * rng.standard_normal((B, T - 1, H, W, 2)),
+                             dtype=jnp.float32),
+        "valids": jnp.ones((B, T - 1, H, W), jnp.float32),
+    }
+    cfg = StreamFlowConfig(T=T, iters=1, mixed_precision=False,
+                           encoder="basic")
+    model = create_model("streamflow", cfg=cfg)
+    variables = jax.jit(lambda k, x: model.init(k, x, iters=1, train=True))(
+        jax.random.PRNGKey(0), batch["images"])
+    assert "batch_stats" in variables, "basic encoder must carry BN stats"
+    tx = make_optimizer(1e-4, 100)
+    state = TrainState.from_variables(variables, tx)
+    # the optimizer must only see trainable params, never the BN stats
+    assert "batch_stats" not in str(
+        jax.tree_util.tree_structure(state.opt_state))
+    before = jax.tree_util.tree_leaves(state.model_state)
+    step = jax.jit(make_train_step(model, tx, 0.85, iters=1))
+    state, metrics = step(state, batch)
+    after = jax.tree_util.tree_leaves(state.model_state)
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(before, after))
+    assert changed, "running BN stats did not update"
+
+
+def test_seq_sharded_forward_matches_unsharded():
+    """'seq' mesh axis in use (SURVEY §2.6 TP row): the H axis of one clip
+    sharded over 2 devices via GSPMD must reproduce the unsharded forward."""
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.parallel import make_mesh, make_seq_sharded_forward
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 255, (1, 4, 48, 64, 3)), jnp.float32)
+    cfg = StreamFlowConfig(T=4, iters=1, mixed_precision=False)
+    m = create_model("streamflow", cfg=cfg)
+    p = jax.jit(lambda k, x: m.init(k, x, test_mode=True))(
+        jax.random.PRNGKey(0), imgs)
+    ref = jax.jit(lambda p_, x: m.apply(p_, x, iters=1, test_mode=True))(
+        p, imgs)
+    mesh = make_mesh(n_data=4, n_seq=2)
+    out = make_seq_sharded_forward(m, mesh, iters=1)(p, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=2e-3)

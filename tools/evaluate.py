@@ -16,7 +16,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True,
-                   choices=["sintel", "kitti", "spring", "sintel_occ", "all"])
+                   choices=["sintel", "kitti", "spring", "sintel_occ",
+                            "things", "chairs", "things_2f", "all"])
+    p.add_argument("--model", default="streamflow",
+                   choices=["streamflow", "raft", "gma", "sk"],
+                   help="two-frame baselines evaluate chairs/things_2f "
+                        "(reference validate_chairs/things are two-frame, "
+                        "evaluate_mf.py:375-429)")
     p.add_argument("--ckpt", default=None, help=".npz params file")
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--T", type=int, default=4)
@@ -25,6 +31,9 @@ def main():
     p.add_argument("--sintel_root", default="datasets/sintel")
     p.add_argument("--multi_root", default="datasets/multi-kitti")
     p.add_argument("--spring_root", default="datasets/spring")
+    p.add_argument("--things_root", default="datasets/flyingthings3d")
+    p.add_argument("--chairs_root",
+                   default="datasets/FlyingChairs_release/data")
     args = p.parse_args()
 
     import jax
@@ -35,19 +44,49 @@ def main():
     from streamflow_tpu.models import create_model
     from streamflow_tpu.training.checkpoint import load_params_npz
 
-    cfg = StreamFlowConfig(T=args.T, iters=args.iters,
-                           attn_impl=args.attn_impl, corr_impl=args.corr_impl)
-    model = create_model("streamflow", cfg=cfg)
+    two_frame = args.model != "streamflow"
+    if two_frame:
+        from streamflow_tpu.config import RAFTConfig
+
+        cfg2 = RAFTConfig(iters=args.iters, update_block=args.model,
+                          use_gma=args.model in ("gma", "sk"),
+                          attn_impl=args.attn_impl)
+        model = create_model("raft", cfg=cfg2)
+    else:
+        cfg = StreamFlowConfig(T=args.T, iters=args.iters,
+                               attn_impl=args.attn_impl,
+                               corr_impl=args.corr_impl)
+        model = create_model("streamflow", cfg=cfg)
 
     if args.ckpt:
         params = {"params": load_params_npz(args.ckpt)}
     else:
         print("WARNING: no --ckpt given; evaluating random init")
         x = jnp.zeros((1, args.T, 64, 96, 3))
-        params = jax.jit(lambda k, a: model.init(k, a, test_mode=True))(
-            jax.random.PRNGKey(0), x)
+        if two_frame:
+            params = jax.jit(lambda k, a, b: model.init(k, a, b,
+                                                        test_mode=True))(
+                jax.random.PRNGKey(0), x[:, 0], x[:, 1])
+        else:
+            params = jax.jit(lambda k, a: model.init(k, a, test_mode=True))(
+                jax.random.PRNGKey(0), x)
 
     results = {}
+    if args.dataset == "things":
+        if two_frame:
+            results.update(evaluation.validate_things(
+                model, params, args.things_root, args.iters))
+        else:
+            results.update(evaluation.validate_things_mf(
+                model, params, args.things_root, args.iters, args.T))
+    if args.dataset == "things_2f":
+        assert two_frame, "--dataset things_2f needs a two-frame --model"
+        results.update(evaluation.validate_things(
+            model, params, args.things_root, args.iters))
+    if args.dataset == "chairs":
+        assert two_frame, "--dataset chairs needs a two-frame --model"
+        results.update(evaluation.validate_chairs(
+            model, params, args.chairs_root, args.iters))
     if args.dataset in ("sintel", "all"):
         results.update(evaluation.validate_sintel(
             model, params, args.sintel_root, args.iters, args.T))
