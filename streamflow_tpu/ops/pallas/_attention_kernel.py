@@ -23,7 +23,27 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref,
-                      m_scr, l_scr, acc_scr, *, kv_len: int, block_k: int):
+                      m_scr, l_scr, acc_scr, *, kv_len: int, block_k: int,
+                      single_kv: bool):
+    if single_kv:
+        # One kv block per q block (the GSA case: m = n/64): plain softmax,
+        # no online renormalization passes.
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (pv / l).astype(o_ref.dtype)
+        return
+
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -96,7 +116,8 @@ def flash_attention_tpu(q, k, v, block_q: int = 512, block_k: int = 2048):
 
     grid = (bh, nq_p // block_q, nk_p // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, kv_len=nk, block_k=block_k),
+        functools.partial(_flash_fwd_kernel, kv_len=nk, block_k=block_k,
+                          single_kv=nk_p == block_k),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), v.dtype),
         grid=grid,
         in_specs=[
