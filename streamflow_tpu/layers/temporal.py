@@ -29,19 +29,24 @@ def _zeros(key, shape, dtype=jnp.float32):
 
 
 class TinyAttention(nn.Module):
-    """timm-style self-attention (qkv no bias, out-proj with bias), heads=1,
-    zero-initialized. Operates on (..., T, C)."""
+    """timm-style self-attention (qkv no bias, out-proj with bias), operating
+    on (..., T, C). ``zero_init=True`` zeroes every parameter (the reference's
+    zero_module gating trick); ``zero_init=False`` gives the standard init
+    (used where a zero-init temporal_fc after it does the gating, e.g.
+    Res18_3D, core/extractor.py:242-245)."""
 
     dim: int
     num_heads: int = 1
+    zero_init: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         d = self.dim
         hd = d // self.num_heads
-        qkv_w = self.param("qkv_kernel", _zeros, (d, 3 * d))
-        proj_w = self.param("proj_kernel", _zeros, (d, d))
+        w_init = _zeros if self.zero_init else nn.initializers.lecun_normal()
+        qkv_w = self.param("qkv_kernel", w_init, (d, 3 * d))
+        proj_w = self.param("proj_kernel", w_init, (d, d))
         proj_b = self.param("proj_bias", _zeros, (d,))
         dt = x.dtype
         qkv = x @ qkv_w.astype(dt)

@@ -61,13 +61,18 @@ def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
         from streamflow_tpu.layers.umt import UMT
 
         return UMT(dtype=dtype, name=name)
-    if cfg.encoder in ("basic", "resnet18"):
-        # reference ResNet18 encoder (core/encoders/resnet18.py:119-187) is
-        # the RAFT CNN lifted over T with output_dim=256; ``train`` reaches
-        # the BatchNorm layers (batch-norm cnet trains its running stats,
-        # reference core/models/streamflow.py:46)
+    if cfg.encoder in ("basic", "resnet18", "mf_basic"):
+        # reference ResNet18/MFBasicEncoder (core/encoders/resnet18.py:119-187,
+        # core/extractor.py:359-429) are the RAFT CNN lifted over T with
+        # output_dim=256; ``train`` reaches the BatchNorm layers (batch-norm
+        # cnet trains its running stats, reference core/models/streamflow.py:46)
         return _PerFrameBasicEncoder(output_dim=256, norm_fn=norm_fn,
                                      train=train, dtype=dtype, name=name)
+    if cfg.encoder == "res18_3d":
+        from streamflow_tpu.layers.basic_encoder import Res18_3D
+
+        return Res18_3D(output_dim=256, norm_fn=norm_fn, train=train,
+                        dtype=dtype, name=name)
     raise ValueError(f"unknown encoder '{cfg.encoder}'")
 
 

@@ -164,8 +164,10 @@ class CorrPyramid:
                     + x[:, 0::2, 1::2] + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
                 )
             hl, wl = f2.shape[1], f2.shape[2]
+            # explicit channel dim: levels can pool to zero-size spatial
+            # dims on tiny inputs (their windows are all out of range)
             vol = jax.lax.dot_general(
-                f1, f2.reshape(b, hl * wl, -1).astype(f1.dtype),
+                f1, f2.reshape(b, hl * wl, c).astype(f1.dtype),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * scale

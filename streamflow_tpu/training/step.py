@@ -103,6 +103,46 @@ def make_train_step(
     return step
 
 
+def make_train_step_2f(
+    model,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.8,
+    iters: int = 12,
+):
+    """Two-frame (RAFT/GMA/SKFlow) training step: batch
+    {"images": (B,2,H,W,3), "flows": (B,1,H,W,2), "valids": (B,1,H,W)}
+    (reference RAFT training recipe, the two-frame analogue of
+    train_mf.py:224-257)."""
+
+    def loss_fn(params, model_state, batch):
+        new_state = model_state
+        variables = {**params, **model_state}
+        im1 = batch["images"][:, 0]
+        im2 = batch["images"][:, 1]
+        if model_state:
+            preds, new_state = model.apply(
+                variables, im1, im2, iters=iters, train=True,
+                mutable=list(model_state))
+        else:
+            preds = model.apply(variables, im1, im2, iters=iters, train=True)
+        total, metrics = sequence_loss(preds, batch["flows"][:, 0],
+                                       batch["valids"][:, 0], gamma)
+        return total, (metrics, new_state)
+
+    def step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, model_state)), grads = grad_fn(
+            state.params, state.model_state, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1,
+                          model_state=model_state), metrics
+
+    return step
+
+
 def shard_train_step(step_fn, mesh: Mesh):
     """jit the step with params replicated and batch sharded over 'data'."""
     repl = NamedSharding(mesh, P())

@@ -67,3 +67,62 @@ def test_umt_encoder_shape():
     y = np.asarray(jax.jit(lambda p_, a: enc.apply(p_, a))(p, x))
     assert y.shape == (1, 3, 2, 3, 768)
     assert np.isfinite(y).all()
+
+
+def test_res18_3d_encoder():
+    """Res18_3D (reference core/extractor.py:276-356): temporal-attention
+    hooks are exact identity at init (zero temporal_fc), so the output must
+    equal the plain per-frame CNN with the same spatial parameters' SHAPES;
+    here we check shape, dtype and identity-at-init via the gate being zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from streamflow_tpu.layers.basic_encoder import Res18_3D
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 48, 3)), jnp.float32)
+    enc = Res18_3D(output_dim=256, norm_fn="instance")
+    p = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(enc.apply)(p, x)
+    assert y.shape == (2, 3, 4, 6, 256)
+    assert np.isfinite(np.asarray(y)).all()
+    # temporal gate zero-init: permuting frames must permute outputs
+    # identically (no temporal mixing at init)
+    y2 = jax.jit(enc.apply)(p, x[:, ::-1])
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y)[:, ::-1],
+                               atol=1e-5)
+
+
+def test_attn_basic_encoder():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from streamflow_tpu.layers.basic_encoder import AttnBasicEncoder
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 32, 48, 3)), jnp.float32)  # 2B=4
+    enc = AttnBasicEncoder(output_dim=128, norm_fn="instance")
+    p = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+    f1, f2, attn = jax.jit(enc.apply)(p, x)
+    assert f1.shape == f2.shape == (2, 4, 6, 128)
+    n = 8 * 12  # layer2 runs at 1/4 resolution
+    assert attn.shape == (2, n, n)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-4)
+
+
+def test_streamflow_res18_3d_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+
+    cfg = StreamFlowConfig(T=4, iters=1, mixed_precision=False,
+                           encoder="res18_3d")
+    m = create_model("streamflow", cfg=cfg)
+    imgs = jnp.asarray(np.random.default_rng(2).integers(
+        0, 255, (1, 4, 32, 48, 3)), jnp.float32)
+    p = jax.jit(lambda k, a: m.init(k, a, test_mode=True))(
+        jax.random.PRNGKey(0), imgs)
+    out = jax.jit(lambda p_, a: m.apply(p_, a, test_mode=True))(p, imgs)
+    assert out.shape == (1, 3, 32, 48, 2)

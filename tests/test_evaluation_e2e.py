@@ -184,3 +184,14 @@ def test_validate_things_2f(things_root):
     res = validate_things(model, params, root=things_root, iters=2)
     assert np.isfinite(res["things_clean_epe"])
     assert res["things_final_epe"] > 0.1
+
+
+def test_validate_sintel_warm(sintel_root, model_and_params):
+    """Warm-start validation: forward-interpolated prev-window flow as
+    flow_init (repairing the reference's dead evaluate_mf.py:596-632)."""
+    from streamflow_tpu.evaluation import validate_sintel_warm
+
+    model, params = model_and_params
+    res = validate_sintel_warm(model, params, root=sintel_root, iters=2,
+                               nframes=T, dstypes=("clean",), progress=False)
+    assert np.isfinite(res["clean_warm_epe"]) and res["clean_warm_epe"] > 0.1

@@ -232,3 +232,35 @@ def test_seq_sharded_forward_matches_unsharded():
     out = make_seq_sharded_forward(m, mesh, iters=1)(p, imgs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
                                rtol=2e-3)
+
+
+def test_two_frame_train_step():
+    """RAFT two-frame training step (tools/train_2f.py path): finite loss,
+    improves on a repeated batch."""
+    from streamflow_tpu.config import RAFTConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.training.state import TrainState
+    from streamflow_tpu.training.step import make_train_step_2f
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 64, 64
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, 2, H, W, 3)),
+                              dtype=jnp.float32),
+        "flows": jnp.asarray(0.1 * rng.standard_normal((B, 1, H, W, 2)),
+                             dtype=jnp.float32),
+        "valids": jnp.ones((B, 1, H, W), jnp.float32),
+    }
+    cfg = RAFTConfig(iters=2, mixed_precision=False)
+    model = create_model("raft", cfg=cfg)
+    variables = jax.jit(lambda k, a, b: model.init(k, a, b, iters=2,
+                                                   train=True))(
+        jax.random.PRNGKey(0), batch["images"][:, 0], batch["images"][:, 1])
+    tx = make_optimizer(1e-4, 100)
+    state = TrainState.from_variables(variables, tx)
+    assert state.model_state, "RAFT cnet BatchNorm must expose batch_stats"
+    step = jax.jit(make_train_step_2f(model, tx, 0.8, iters=2))
+    state, m1 = step(state, batch)
+    state, m2 = step(state, batch)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
