@@ -58,6 +58,12 @@ class StreamFlowConfig:
     # path); "flash" recomputes softmax(qk)v per iteration with the blocked
     # Pallas kernel — numerically identical, O(N) memory.
     attn_impl: str = "full"
+    # Depthwise-conv stack inside SK blocks: "auto" fuses the whole
+    # gelu-residual chain into one Pallas kernel on TPU (falls back to the
+    # XLA composite off-TPU / on unsupported shapes); "xla" forces the
+    # composite; "xla_fenced" keeps XLA convs but optimization-barriers them
+    # out of surrounding fusions.
+    dw_impl: str = "auto"
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0
@@ -125,6 +131,7 @@ class RAFTConfig:
     mixed_precision: bool = True
     corr_impl: str = "xla"
     attn_impl: str = "full"
+    dw_impl: str = "auto"
     dropout: float = 0.0
 
     @property

@@ -43,6 +43,42 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv issued as a plain dot_general on the channel axis.
+
+    Parameters are bit-compatible with nn.Conv (kernel (1,1,cin,cout), bias
+    (cout,)), but the HLO carries no `convolution` op: XLA's conv layout
+    assignment degrades badly when a Mosaic custom call (the fused corr
+    lookup / dw chain) shares the refinement-loop body, so every pointwise
+    conv on that path is a matmul instead."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        # match nn.Conv dtype promotion: with dtype=None, bf16 x and f32
+        # params promote to f32
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(dt), w[0, 0].astype(dt),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=dt,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(dt)
+        return y
+
+
 def conv2d(
     features: int,
     kernel: int | tuple,
@@ -53,11 +89,16 @@ def conv2d(
     dtype=None,
     name: Optional[str] = None,
 ):
-    """nn.Conv with torch-Conv2d-like defaults; NHWC."""
+    """nn.Conv with torch-Conv2d-like defaults; NHWC. 1x1/stride-1 convs
+    dispatch to the matmul-form Conv1x1 (identical params)."""
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(stride, int):
         stride = (stride, stride)
+    if (kernel == (1, 1) and stride == (1, 1) and groups == 1
+            and padding in ("SAME", "VALID", 0, [(0, 0), (0, 0)])):
+        return Conv1x1(features=features, use_bias=use_bias, dtype=dtype,
+                       name=name)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     return nn.Conv(

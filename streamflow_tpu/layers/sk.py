@@ -10,10 +10,14 @@ TPU notes:
   so checkpoints map 1:1, but at apply time the working channel count is
   zero-padded up to a multiple of 128 lanes (``align=True``): zero input
   channels with zero weight rows/bias contribute exactly nothing, and the
-  depthwise 15x15 conv — the VPU-bound hot op of the refinement loop — runs
-  ~2.8x faster on a whole number of lane tiles (the 324-channel convc1
-  instance was the single most expensive conv in the r2 trace).
-- The 1x1 convs are MXU matmuls that XLA fuses with the surrounding GELUs.
+  depthwise convs — the VPU-bound hot ops of the refinement loop — run on
+  whole lane tiles.
+- The depthwise stack executes as ONE fused Pallas kernel on TPU
+  (ops/pallas/_dw_conv_kernel.py): ~2x the VPU tap rate of XLA's conv
+  lowering, the gelu residuals never leave VMEM, and the refinement-loop HLO
+  stays convolution-free (XLA's conv layout assignment collapses when a
+  Mosaic custom call — the fused corr lookup — shares the loop body).
+- Every 1x1 conv is issued as a plain dot_general (MXU) for the same reason.
 """
 
 from __future__ import annotations
@@ -36,7 +40,11 @@ class _PadConv(nn.Module):
     (in_dim[/groups] x out_dim) but whose execution is zero-padded to the
     lane-aligned widths ``in_pad``/``out_pad``. Exactness: zero weight rows
     kill padded input channels; padded output channels get zero weight
-    columns and zero bias."""
+    columns and zero bias.
+
+    ``__call__(x, collect=True)`` returns the padded ``(w, b)`` pair —
+    ``(k, k, out_pad)`` / ``(out_pad,)`` for depthwise — without applying,
+    for the fused Pallas chain."""
 
     in_dim: int
     out_dim: int
@@ -47,7 +55,7 @@ class _PadConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, collect: bool = False):
         k = self.kernel
         cin_g = 1 if self.depthwise else self.in_dim
         w = self.param(
@@ -58,10 +66,9 @@ class _PadConv(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_dim,),
                        jnp.float32)
-        dt = self.dtype or x.dtype
+        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
         w = w.astype(dt)
         b = b.astype(dt)
-        x = x.astype(dt)
 
         if self.depthwise:
             # (k,k,1,C) padded along the channel axis
@@ -74,6 +81,20 @@ class _PadConv(nn.Module):
                             (0, self.out_pad - self.out_dim)))
             groups = 1
         b = jnp.pad(b, (0, self.out_pad - self.out_dim))
+
+        if collect:
+            assert self.depthwise
+            return w[:, :, 0, :], b
+
+        x = x.astype(dt)
+        if k == 1 and not self.depthwise:
+            # dot_general keeps the refinement-loop HLO convolution-free
+            y = jax.lax.dot_general(
+                x, w[0, 0],
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=dt,
+            )
+            return y + b
 
         pad = k // 2
         y = jax.lax.conv_general_dilated(
@@ -90,6 +111,25 @@ class SKBlock(nn.Module):
     k_conv: Sequence[int] = (1, 15)
     dtype: Optional[jnp.dtype] = None
     align: bool = True
+    dw_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+
+    def _pallas_ok(self, x, ks) -> bool:
+        if self.dw_impl != "pallas":
+            # 'auto' resolves at the model level (models/streamflow.py):
+            # XLA convs win when the rest of the loop is XLA; the fused
+            # chain only pays when a Mosaic custom call (fused corr lookup)
+            # already shares the loop body.
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if x.shape[-1] % 128 != 0 or x.ndim != 4:
+            return False
+        if any(k != 1 for k in ks[:-1]):
+            return False
+        from streamflow_tpu.ops.pallas._dw_conv_kernel import vmem_estimate
+
+        return vmem_estimate(x.shape[1], x.shape[2], ks,
+                             x.dtype.itemsize) < 13 * 2 ** 20
 
     @nn.compact
     def __call__(self, x):
@@ -111,9 +151,26 @@ class SKBlock(nn.Module):
         h = gelu(conv("ffn1_in", c_in, hidden, cp, hp)(x))
         x = gelu(x + conv("ffn1_out", hidden, c_in, hp, cp)(h))
 
-        for i, k in enumerate(self.k_conv):
-            dwc = conv(f"dw{i}_k{k}", c_in, c_in, cp, cp, k=k, dw=True)(x)
-            x = gelu(x + dwc)
+        ks = tuple(self.k_conv)
+        mods = [conv(f"dw{i}_k{k}", c_in, c_in, cp, cp, k=k, dw=True)
+                for i, k in enumerate(ks)]
+        if self._pallas_ok(x, ks):
+            from streamflow_tpu.ops.pallas._dw_conv_kernel import dw_chain
+
+            stages = [m(None, collect=True) for m in mods]
+            x = dw_chain(x, tuple(w for w, _ in stages),
+                         tuple(b for _, b in stages), ks)
+        elif self.dw_impl == "xla_fenced":
+            # keep XLA's dw conv but fence it from surrounding fusions: the
+            # standalone conv emitter runs ~4x faster than the in-context
+            # fused form (13 vs 3.4 TFLOP/s measured at c384)
+            for m in mods:
+                xf = jax.lax.optimization_barrier(x)
+                dwc = jax.lax.optimization_barrier(m(xf))
+                x = gelu(x + dwc)
+        else:
+            for m in mods:
+                x = gelu(x + m(x))
 
         x = gelu(x + conv("pw", c_in, c_in, cp, cp)(x))
 

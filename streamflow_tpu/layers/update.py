@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -39,16 +40,21 @@ class SKMotionEncoder6(nn.Module):
     out_dim: int = 128
     k_conv: Sequence[int] = (1, 15)
     dtype: Optional[jnp.dtype] = None
+    dw_impl: str = "auto"
 
     @nn.compact
     def __call__(self, flow, corr):
-        cor = gelu(SKBlock(256, self.k_conv, dtype=self.dtype, name="convc1")(corr))
-        cor = SKBlock(192, self.k_conv, dtype=self.dtype, name="convc2")(cor)
+        def sk(dim, name):
+            return SKBlock(dim, self.k_conv, dtype=self.dtype,
+                           dw_impl=self.dw_impl, name=name)
+
+        cor = gelu(sk(256, "convc1")(corr))
+        cor = sk(192, "convc2")(cor)
 
         flo = conv2d(128, 1, dtype=self.dtype, name="convf1")(flow)
-        flo = SKBlock(64, self.k_conv, dtype=self.dtype, name="convf2")(flo)
+        flo = sk(64, "convf2")(flo)
 
-        out = SKBlock(self.out_dim - 2, self.k_conv, dtype=self.dtype, name="conv")(
+        out = sk(self.out_dim - 2, "conv")(
             jnp.concatenate([cor, flo], axis=-1)
         )
         return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
@@ -92,9 +98,15 @@ class SKUpdateBlockTAMv3(nn.Module):
     ratio: int = 8
     attn_mode: str = "full"
     dtype: Optional[jnp.dtype] = None
+    dw_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, attn):
+    def __call__(self, net, inp, corr, flow, attn, compute_mask=None):
+        """``compute_mask``: None computes the convex-upsample mask head
+        unconditionally (training / reference semantics); a traced bool
+        gates it behind lax.cond — in test mode only the final iteration's
+        mask is consumed (reference upsamples every iteration and discards
+        all but the last, core/models/streamflow.py:139-147)."""
         b, f, h, w, d = net.shape
         assert f == self.num_frames
 
@@ -105,7 +117,8 @@ class SKUpdateBlockTAMv3(nn.Module):
             return x.reshape(b, f, h, w, x.shape[-1])
 
         mf = SKMotionEncoder6(
-            self.embed_dim, self.k_conv, dtype=self.dtype, name="encoder"
+            self.embed_dim, self.k_conv, dtype=self.dtype,
+            dw_impl=self.dw_impl, name="encoder"
         )(flat(flow), flat(corr))
 
         if self.use_gma:
@@ -127,18 +140,29 @@ class SKUpdateBlockTAMv3(nn.Module):
             [flat(inp), mf, mf_global, flat(mf_temporal)], axis=-1
         )
         net_f = SKBlock(
-            self.embed_dim, self.pc_updater_conv, dtype=self.dtype, name="gru"
+            self.embed_dim, self.pc_updater_conv, dtype=self.dtype,
+            dw_impl=self.dw_impl, name="gru"
         )(jnp.concatenate([flat(net), inp_cat], axis=-1))
 
         # Joint flow head over all F frames: (B, H, W, F*D) -> (B, H, W, 2F).
         net_joint = net_f.reshape(b, f, h, w, d).transpose(0, 2, 3, 1, 4)
         net_joint = net_joint.reshape(b, h, w, f * d)
         delta = SKBlock(
-            2 * f, self.k_conv, dtype=self.dtype, name="flow_head"
+            2 * f, self.k_conv, dtype=self.dtype, dw_impl=self.dw_impl,
+            name="flow_head"
         )(net_joint)
         delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
 
-        mask = MaskHead(self.embed_dim, self.ratio, dtype=self.dtype, name="mask")(net_f)
+        mh = MaskHead(self.embed_dim, self.ratio, dtype=self.dtype,
+                      name="mask")
+        if compute_mask is None or self.is_initializing():
+            mask = mh(net_f)
+        else:
+            mask = jax.lax.cond(
+                compute_mask, lambda n: mh(n),
+                lambda n: jnp.zeros(
+                    n.shape[:-1] + (9 * self.ratio * self.ratio,), n.dtype),
+                net_f)
         return unflat(net_f), unflat(mask), delta
 
 

@@ -101,7 +101,7 @@ class _RefinementStep(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, carry, x):
+    def __call__(self, carry, x, is_last=None):
         cfg = self.cfg
         net, coords1, _ = carry
         inp, attn, pyramid, coords0 = x
@@ -122,9 +122,12 @@ class _RefinementStep(nn.Module):
             use_gma=cfg.use_gma,
             ratio=cfg.ratio,
             attn_mode=cfg.attn_impl,
+            dw_impl=(("pallas" if cfg.corr_impl == "pallas" else "xla")
+                     if cfg.dw_impl == "auto" else cfg.dw_impl),
             dtype=self.dtype,
             name="update_block",
-        )(net, inp, corr, flow, attn)
+        )(net, inp, corr, flow, attn,
+          compute_mask=None if self.emit_flow else is_last)
 
         coords1 = coords1 + delta.astype(jnp.float32)
 
@@ -220,12 +223,13 @@ class StreamFlow(nn.Module):
             variable_broadcast="params",
             variable_axes={"intermediates": 0},
             split_rngs={"params": False},
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, 0),
             out_axes=0,
             length=iters,
             unroll=min(cfg.scan_unroll, iters) if iters else 1,
         )(cfg=cfg, emit_flow=emit, dtype=dtype, name="step")
-        (net, coords1, mask), ys = scan(carry, xs)
+        is_last = jnp.arange(iters) == iters - 1
+        (net, coords1, mask), ys = scan(carry, xs, is_last)
 
         if test_mode:
             lowres = (coords1 - coords0).reshape(b * f, h, w, 2)

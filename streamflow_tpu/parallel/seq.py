@@ -24,14 +24,19 @@ def make_seq_sharded_forward(model, mesh: Mesh, iters=None):
     (and batch over 'data'). Returns fwd(params, images) -> flows with
     identical numerics to the unsharded model."""
     img_sh = NamedSharding(mesh, P(None, None, "seq", None, None))
-    out_sh = NamedSharding(mesh, P(None, None, "seq", None, None))
     repl = NamedSharding(mesh, P())
 
     @jax.jit
     def fwd(params, images):
         images = jax.lax.with_sharding_constraint(images, img_sh)
         flows = model.apply(params, images, iters=iters, test_mode=True)
-        return jax.lax.with_sharding_constraint(flows, out_sh)
+        # Replicated output: the input constraint is what drives the sharded
+        # compute; re-pinning the upsampled flows to a spatially-sharded
+        # layout here trips an XLA SPMD partitioner miscompile around the
+        # convex-upsample graph (H- or W-sharded output constraints return
+        # garbage on the CPU partitioner; replicated is exact — verified
+        # element-wise against the unsharded forward).
+        return jax.lax.with_sharding_constraint(flows, repl)
 
     def run(params, images):
         params = jax.device_put(params, repl)
