@@ -79,6 +79,44 @@ class Conv1x1(nn.Module):
         return y
 
 
+class Conv3x3AsDot(nn.Module):
+    """3x3 SAME conv issued as im2col (9 shifted views, ky/kx-major) + one
+    dot_general — nn.Conv-compatible params (kernel (3,3,cin,cout)). Used
+    where the refinement-loop body must stay free of `convolution` HLOs
+    (see Conv1x1)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        x = x.astype(dt)
+        b_, h, w_, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [xp[:, ky:ky + h, kx:kx + w_, :] for ky in range(3)
+             for kx in range(3)], axis=-1)
+        y = jax.lax.dot_general(
+            cols, w.reshape(9 * cin, self.features).astype(dt),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=dt,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
+
+
 def conv2d(
     features: int,
     kernel: int | tuple,

@@ -140,3 +140,124 @@ class TemporalAggregate(nn.Module):
         out = conv2d(c, 1, use_bias=False, dtype=self.dtype, name="temporal_project")(out)
         gamma = self.param("temporal_gamma", nn.initializers.zeros, (1,), jnp.float32)
         return fmap + gamma.astype(fmap.dtype) * out
+
+
+class SpatioTemporalAggregate(nn.Module):
+    """Spatial GMA aggregation + temporal re-aggregation of the result, each
+    behind its own zero-init gamma (reference SpatioTemporalAggregate,
+    core/gma.py:140-191). Identity at init.
+
+    ``temporal_attn=None`` skips the temporal half (reference guards the
+    same way); ``temporal_project=False`` mirrors args.no_temporal_project.
+    """
+
+    heads: int = 1
+    dim_head: int = 128
+    temporal_project: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, attn, temporal_attn, fmap):
+        b, h, w, c = fmap.shape
+        inner = self.heads * self.dim_head
+        v = conv2d(inner, 1, use_bias=False, dtype=self.dtype, name="to_v")(fmap)
+        v = v.reshape(b, h * w, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(attn.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner).astype(fmap.dtype)
+        if inner != c:
+            out = conv2d(c, 1, use_bias=False, dtype=self.dtype,
+                         name="project")(out)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        out = fmap + gamma.astype(fmap.dtype) * out
+
+        if temporal_attn is not None:
+            t = out.reshape(b, h * w, self.heads,
+                            out.shape[-1] // self.heads).transpose(0, 2, 1, 3)
+            t = jnp.einsum("bhnm,bhmd->bhnd", temporal_attn,
+                           t.astype(temporal_attn.dtype),
+                           preferred_element_type=jnp.float32)
+            t = t.transpose(0, 2, 1, 3).reshape(b, h, w, -1).astype(out.dtype)
+            if self.temporal_project:
+                t = conv2d(c, 1, use_bias=False, dtype=self.dtype,
+                           name="temporal_project")(t)
+            tg = self.param("temporal_gamma", nn.initializers.zeros, (1,),
+                            jnp.float32)
+            out = out + tg.astype(out.dtype) * t
+        return out
+
+
+class SpatioTemporalAggregate2(nn.Module):
+    """Joint-grid variant (reference SpatioTemporalAggregate2,
+    core/gma.py:214-256): the T-1 frames are unfolded into one (H, T*W)
+    token grid before the spatial aggregation, so ``attn`` spans all frames
+    jointly. fmap: (B*F, H, W, C) with F static."""
+
+    num_frames: int
+    heads: int = 1
+    dim_head: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, attn, fmap):
+        bf, h, w, c = fmap.shape
+        f = self.num_frames
+        b = bf // f
+        inner = self.heads * self.dim_head
+        v = conv2d(inner, 1, use_bias=False, dtype=self.dtype, name="to_v")(fmap)
+        # (B*F, H, W, C) -> (B, H, F*W, C): frames side by side along width
+        v = v.reshape(b, f, h, w, inner).transpose(0, 2, 1, 3, 4)
+        v = v.reshape(b, h, f * w, inner)
+        v = v.reshape(b, h * f * w, self.heads,
+                      self.dim_head).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(attn.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, f * w, inner)
+        out = out.reshape(b, h, f, w, inner).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(bf, h, w, inner).astype(fmap.dtype)
+        if inner != c:
+            out = conv2d(c, 1, use_bias=False, dtype=self.dtype,
+                         name="project")(out)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return fmap + gamma.astype(fmap.dtype) * out
+
+
+class TMMAggregate(nn.Module):
+    """Temporal-motion-module aggregate (reference TMMAggregate,
+    core/gma.py:261-300): spatial aggregation per frame, then a temporal
+    aggregation over the channel-concat of all F frames, both zero-init
+    gamma gated. fmap: (B*F, H, W, C)."""
+
+    num_frames: int
+    heads: int = 1
+    dim_head: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, attn, temporal_attn, fmap):
+        bf, h, w, c = fmap.shape
+        f = self.num_frames
+        b = bf // f
+        inner = self.heads * self.dim_head
+        v = conv2d(inner, 1, use_bias=False, dtype=self.dtype, name="to_v")(fmap)
+        v = v.reshape(bf, h * w, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(attn.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(bf, h, w, inner).astype(fmap.dtype)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        out = fmap + gamma.astype(fmap.dtype) * out
+
+        # temporal: channel-concat of the F frames as one token grid
+        joint = out.reshape(b, f, h, w, c).transpose(0, 2, 3, 1, 4)
+        joint = joint.reshape(b, h * w, f * c)
+        per_head = (f * c) // self.heads
+        t = joint.reshape(b, h * w, self.heads, per_head).transpose(0, 2, 1, 3)
+        t = jnp.einsum("bhnm,bhmd->bhnd", temporal_attn,
+                       t.astype(temporal_attn.dtype),
+                       preferred_element_type=jnp.float32)
+        t = t.transpose(0, 2, 1, 3).reshape(b, h * w, f * c).astype(out.dtype)
+        tg = self.param("temporal_gamma", nn.initializers.zeros, (1,),
+                        jnp.float32)
+        joint = joint + tg.astype(joint.dtype) * t
+        joint = joint.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return joint.reshape(bf, h, w, c)

@@ -62,15 +62,27 @@ class SKMotionEncoder6(nn.Module):
 
 class MaskHead(nn.Module):
     """Convex-upsample mask head: 3x3 conv -> ReLU -> 1x1 conv to 9*r*r,
-    output pre-scaled by 0.25 (reference core/update.py:756-759, 777)."""
+    output pre-scaled by 0.25 (reference core/update.py:756-759, 777).
+
+    ``as_dot`` issues the 3x3 conv as im2col+matmul so the scan body carries
+    no convolution HLO (required next to Mosaic custom calls; params are
+    bit-compatible either way)."""
 
     embed_dim: int
     ratio: int = 8
+    as_dot: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, net):
-        x = conv2d(self.embed_dim * 2, 3, padding=1, dtype=self.dtype, name="conv1")(net)
+        if self.as_dot:
+            from streamflow_tpu.layers.common import Conv3x3AsDot
+
+            x = Conv3x3AsDot(self.embed_dim * 2, dtype=self.dtype,
+                             name="conv1")(net)
+        else:
+            x = conv2d(self.embed_dim * 2, 3, padding=1, dtype=self.dtype,
+                       name="conv1")(net)
         x = nn.relu(x)
         x = conv2d(self.ratio * self.ratio * 9, 1, dtype=self.dtype, name="conv2")(x)
         return 0.25 * x
@@ -153,7 +165,8 @@ class SKUpdateBlockTAMv3(nn.Module):
         )(net_joint)
         delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
 
-        mh = MaskHead(self.embed_dim, self.ratio, dtype=self.dtype,
+        mh = MaskHead(self.embed_dim, self.ratio,
+                      as_dot=self.dw_impl == "pallas", dtype=self.dtype,
                       name="mask")
         if compute_mask is None or self.is_initializing():
             mask = mh(net_f)

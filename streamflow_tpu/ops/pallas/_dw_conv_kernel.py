@@ -99,7 +99,6 @@ def _kernel(x_ref, *refs, ks, H, W, Wp, rmax, strip):
     out_ref = refs[2 * n]
     a_ref = refs[2 * n + 1]      # (Hp, Wp, 128) io-dtype scratch, zero pads
     s_ref = refs[2 * n + 2]      # (strip + 2*rmax, W, 128) shifted slab
-    acc_ref = refs[2 * n + 3]    # (strip, W, 128) fp32
 
     dt = a_ref.dtype
     a_ref[...] = jnp.zeros(a_ref.shape, dt)
@@ -124,30 +123,37 @@ def _kernel(x_ref, *refs, ks, H, W, Wp, rmax, strip):
     r = k // 2
     w_ref = w_refs[-1]
     bv = b_refs[-1][0][None, None].astype(jnp.float32)
+    at = jnp.float32
     for s in range(n_strips):
         s0 = min(s * strip, H - strip) if H >= strip else 0
         sh = min(strip, H)
-        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-
-        at = acc_ref.dtype
         # dx statically unrolled: Mosaic only lowers *static* unaligned
-        # sublane offsets. One sublane shift per dx, reused by every dy
-        # (row offsets are free vreg addressing).
+        # sublane offsets. Per dx: ONE shift pass into the slab scratch,
+        # then pure VALUE accumulation — scratch read-modify-write per step
+        # measured ~15x slower than value chains (.bench/mosaic_probe.py);
+        # 4 independent partial sums avoid one serial FMA dependency chain.
+        parts = [None] * 4
         for dx in range(k):
             s_ref[:sh + 2 * r] = a_ref[
-                pl.ds(s0 + rmax - r, sh + 2 * r), dx - r + CP:dx - r + CP + W]
+                pl.ds(s0 + rmax - r, sh + 2 * r),
+                dx - r + CP:dx - r + CP + W].astype(s_ref.dtype)
             for dy in range(k):
                 wv = w_ref[dy, dx:dx + 1, :][None].astype(at)
-                acc_ref[:sh] = acc_ref[:sh] + (
-                    s_ref[pl.ds(dy, sh)].astype(at) * wv)
+                p = s_ref[pl.ds(dy, sh)] * wv
+                i = (dx * k + dy) % 4
+                parts[i] = p if parts[i] is None else parts[i] + p
+        parts = [q for q in parts if q is not None]
+        while len(parts) > 1:
+            parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
+                [parts[-1]] if len(parts) % 2 else [])
         prev = a_ref[pl.ds(s0 + rmax, sh), CP:CP + W].astype(jnp.float32)
         out_ref[0, pl.ds(s0, sh)] = _gelu_f32(
-            prev + acc_ref[:sh] + bv, _erf=_erf_f32).astype(out_ref.dtype)
+            prev + parts[0].astype(jnp.float32) + bv,
+            _erf=_erf_f32).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("ks", "interpret", "acc_dtype"))
-def _dw_chain_fwd(x, weights, biases, ks, interpret=False,
-                  acc_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("ks", "interpret"))
+def _dw_chain_fwd(x, weights, biases, ks, interpret=False):
     b, h, w, c = x.shape
     assert c % 128 == 0, c
     assert all(k == 1 for k in ks[:-1]), ks
@@ -172,8 +178,9 @@ def _dw_chain_fwd(x, weights, biases, ks, interpret=False,
         out_specs=pl.BlockSpec((1, h, w, 128), lambda bi, ci: (bi, 0, 0, ci)),
         scratch_shapes=[
             pltpu.VMEM((hp, wp, 128), x.dtype),
-            pltpu.VMEM((strip + 2 * rmax, w, 128), x.dtype),
-            pltpu.VMEM((strip, w, 128), acc_dtype),
+            # slab in f32: the per-tap mul then needs no bf16->f32 convert
+            # pass (the shift write converts once per dx)
+            pltpu.VMEM((strip + 2 * rmax, w, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),

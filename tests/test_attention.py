@@ -76,3 +76,48 @@ def test_flash_attention_grad():
     for a, b_ in zip(gf, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_spatiotemporal_and_tmm_aggregates_identity_at_init():
+    """Reference SpatioTemporalAggregate/SpatioTemporalAggregate2/TMMAggregate
+    (core/gma.py:140-191, 214-256, 261-300): zero-init gammas make every
+    variant the identity at init; shapes are preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streamflow_tpu.layers.gma import (
+        SpatioTemporalAggregate,
+        SpatioTemporalAggregate2,
+        TMMAggregate,
+    )
+
+    rng = np.random.default_rng(0)
+    bf, h, w, c = 3, 6, 8, 128
+    fmap = jnp.asarray(rng.standard_normal((bf, h, w, c)), jnp.float32)
+    attn = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((bf, 1, h * w, h * w)), jnp.float32),
+        -1)
+    tattn = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((1, 1, h * w, h * w)), jnp.float32),
+        -1)
+
+    m = SpatioTemporalAggregate(heads=1, dim_head=c)
+    p = m.init(jax.random.PRNGKey(0), attn, jnp.repeat(tattn, bf, 0), fmap)
+    y = m.apply(p, attn, jnp.repeat(tattn, bf, 0), fmap)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(fmap), atol=1e-6)
+
+    joint = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((1, 1, h * 3 * w, h * 3 * w)),
+                    jnp.float32), -1)
+    m2 = SpatioTemporalAggregate2(num_frames=3, heads=1, dim_head=c)
+    p2 = m2.init(jax.random.PRNGKey(0), joint, fmap)
+    y2 = m2.apply(p2, joint, fmap)
+    assert y2.shape == fmap.shape
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(fmap), atol=1e-6)
+
+    m3 = TMMAggregate(num_frames=3, heads=1, dim_head=c)
+    p3 = m3.init(jax.random.PRNGKey(0), attn, tattn, fmap)
+    y3 = m3.apply(p3, attn, tattn, fmap)
+    assert y3.shape == fmap.shape
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(fmap), atol=1e-6)

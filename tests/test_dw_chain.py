@@ -77,3 +77,19 @@ def test_skblock_dispatch_param_compat():
     y1 = m1.apply(p1, x)
     y2 = m2.apply(p1, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_conv3x3_as_dot_matches_nn_conv():
+    """Conv3x3AsDot (im2col+matmul) is bit-compatible with nn.Conv params
+    and numerically equal (MaskHead's conv-free form on the pallas path)."""
+    from streamflow_tpu.layers.common import Conv3x3AsDot, conv2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 16)), jnp.float32)
+    ref_mod = conv2d(24, 3, padding=1)
+    dot_mod = Conv3x3AsDot(24)
+    p = ref_mod.init(jax.random.PRNGKey(0), x)
+    y_ref = ref_mod.apply(p, x)
+    y_dot = dot_mod.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
