@@ -83,8 +83,10 @@ class _PadConv(nn.Module):
         b = jnp.pad(b, (0, self.out_pad - self.out_dim))
 
         if collect:
-            assert self.depthwise
-            return w[:, :, 0, :], b
+            if self.depthwise:
+                return w[:, :, 0, :], b
+            assert k == 1
+            return w[0, 0], b
 
         x = x.astype(dt)
         if k == 1 and not self.depthwise:
@@ -148,10 +150,20 @@ class SKBlock(nn.Module):
             return _PadConv(in_dim, out_dim, in_pad, out_pad, kernel=k,
                             depthwise=dw, dtype=self.dtype, name=name)
 
-        h = gelu(conv("ffn1_in", c_in, hidden, cp, hp)(x))
-        x = gelu(x + conv("ffn1_out", hidden, c_in, hp, cp)(h))
-
         ks = tuple(self.k_conv)
+        fused = self._pallas_ok(x, ks)
+
+        m1 = conv("ffn1_in", c_in, hidden, cp, hp)
+        m2 = conv("ffn1_out", hidden, c_in, hp, cp)
+        if fused:
+            from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
+
+            w1, b1 = m1(None, collect=True)
+            w2, b2 = m2(None, collect=True)
+            x = ffn_pair(x, w1, b1, w2, b2, True)
+        else:
+            h = gelu(m1(x))
+            x = gelu(x + m2(h))
         mods = [conv(f"dw{i}_k{k}", c_in, c_in, cp, cp, k=k, dw=True)
                 for i, k in enumerate(ks)]
         if self._pallas_ok(x, ks):
@@ -174,8 +186,17 @@ class SKBlock(nn.Module):
 
         x = gelu(x + conv("pw", c_in, c_in, cp, cp)(x))
 
-        h = gelu(conv("ffn2_in", c_in, hidden, cp, hp)(x))
-        x = conv("ffn2_out", hidden, self.out_dim, hp, op)(h)
+        m3 = conv("ffn2_in", c_in, hidden, cp, hp)
+        m4 = conv("ffn2_out", hidden, self.out_dim, hp, op)
+        if fused:
+            from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
+
+            w3, b3 = m3(None, collect=True)
+            w4, b4 = m4(None, collect=True)
+            x = ffn_pair(x, w3, b3, w4, b4, False)
+        else:
+            h = gelu(m3(x))
+            x = m4(h)
         if op != self.out_dim:
             x = x[..., : self.out_dim]
         return x
