@@ -41,12 +41,13 @@ class SKMotionEncoder6(nn.Module):
     k_conv: Sequence[int] = (1, 15)
     dtype: Optional[jnp.dtype] = None
     dw_impl: str = "auto"
+    align: bool = True
 
     @nn.compact
     def __call__(self, flow, corr):
         def sk(dim, name):
             return SKBlock(dim, self.k_conv, dtype=self.dtype,
-                           dw_impl=self.dw_impl, name=name)
+                           align=self.align, dw_impl=self.dw_impl, name=name)
 
         cor = gelu(sk(256, "convc1")(corr))
         cor = sk(192, "convc2")(cor)
@@ -111,6 +112,12 @@ class SKUpdateBlockTAMv3(nn.Module):
     attn_mode: str = "full"
     dtype: Optional[jnp.dtype] = None
     dw_impl: str = "auto"
+    # Lane-aligned execution padding inside SK blocks. MUST be False under
+    # autodiff on TPU: XLA's post-optimization pass miscompiles the weight
+    # gradient of a channel-padded depthwise conv ("output feature dimension
+    # 324 not a multiple of batch group count 384") — reproduced on a lone
+    # SKBlock grad; inference is unaffected.
+    align: bool = True
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, attn, compute_mask=None):
@@ -130,7 +137,7 @@ class SKUpdateBlockTAMv3(nn.Module):
 
         mf = SKMotionEncoder6(
             self.embed_dim, self.k_conv, dtype=self.dtype,
-            dw_impl=self.dw_impl, name="encoder"
+            dw_impl=self.dw_impl, align=self.align, name="encoder"
         )(flat(flow), flat(corr))
 
         if self.use_gma:
@@ -153,15 +160,15 @@ class SKUpdateBlockTAMv3(nn.Module):
         )
         net_f = SKBlock(
             self.embed_dim, self.pc_updater_conv, dtype=self.dtype,
-            dw_impl=self.dw_impl, name="gru"
+            align=self.align, dw_impl=self.dw_impl, name="gru"
         )(jnp.concatenate([flat(net), inp_cat], axis=-1))
 
         # Joint flow head over all F frames: (B, H, W, F*D) -> (B, H, W, 2F).
         net_joint = net_f.reshape(b, f, h, w, d).transpose(0, 2, 3, 1, 4)
         net_joint = net_joint.reshape(b, h, w, f * d)
         delta = SKBlock(
-            2 * f, self.k_conv, dtype=self.dtype, dw_impl=self.dw_impl,
-            name="flow_head"
+            2 * f, self.k_conv, dtype=self.dtype, align=self.align,
+            dw_impl=self.dw_impl, name="flow_head"
         )(net_joint)
         delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
 

@@ -98,6 +98,7 @@ class _RefinementStep(nn.Module):
 
     cfg: StreamFlowConfig
     emit_flow: bool
+    train: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -124,6 +125,9 @@ class _RefinementStep(nn.Module):
             attn_mode=cfg.attn_impl,
             dw_impl=(("pallas" if cfg.corr_impl == "pallas" else "xla")
                      if cfg.dw_impl == "auto" else cfg.dw_impl),
+            # no lane-padding under autodiff: the padded depthwise weight
+            # grad trips an XLA TPU miscompile (see SKUpdateBlockTAMv3.align)
+            align=not self.train,
             dtype=self.dtype,
             name="update_block",
         )(net, inp, corr, flow, attn,
@@ -227,7 +231,7 @@ class StreamFlow(nn.Module):
             out_axes=0,
             length=iters,
             unroll=min(cfg.scan_unroll, iters) if iters else 1,
-        )(cfg=cfg, emit_flow=emit, dtype=dtype, name="step")
+        )(cfg=cfg, emit_flow=emit, train=train, dtype=dtype, name="step")
         is_last = jnp.arange(iters) == iters - 1
         (net, coords1, mask), ys = scan(carry, xs, is_last)
 

@@ -55,11 +55,9 @@ UNROLL = 4  # volume planes per loop step (one MXU matmul feeds U extractions)
 def _wp_of(wl: int, r: int) -> int:
     """Padded plane width: PAD_L + wl + right pad for the largest tap
     (s + j <= wl + 2r + 11), rounded to a whole number of 128-lane tiles
-    (the lane gather operates on single tiles; two tiles max)."""
+    (the lane gather operates per tile; see the per-tile select chain)."""
     need = PAD_L + wl + 2 * r + 12
-    wp = 128 if need <= 128 else 256
-    assert need <= wp, f"level width {wl} exceeds two lane tiles"
-    return wp
+    return -(-need // 128) * 128
 
 
 def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
@@ -95,15 +93,16 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
 
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-        if wp > 128:
-            gidx_a = jnp.minimum(gidx, 127)
-            gidx_b = jnp.clip(gidx - 128, 0, 127)
-            in_a = gidx < 128
-        else:
-            gidx_a = gidx_b = in_a = None
+        # per-tile lane-gather indices: the DynamicGather primitive operates
+        # on single 128-lane tiles, so a wp-wide plane is gathered tile by
+        # tile and combined with a select chain (any number of tiles — the
+        # Spring 1080p level-0 width is 240 -> wp 384, 1440x2560 -> 512)
+        n_tiles = wp // 128
+        gidx_t = [jnp.clip(gidx - t * 128, 0, 127) for t in range(n_tiles)]
+        tile_of = gidx // 128
 
         def body(step, _, l=l, y0=y0, fy=fy, fx=fx, hmin=hmin, wp=wp,
-                 gidx=gidx, gidx_a=gidx_a, gidx_b=gidx_b, in_a=in_a):
+                 n_tiles=n_tiles, gidx_t=gidx_t, tile_of=tile_of):
             h0 = hmin + step * UNROLL
             slab = f2_refs[l][0, pl.ds(h0, UNROLL)]  # (U, wp, C)
             plane = jax.lax.dot_general(
@@ -113,12 +112,11 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
             )                                        # (Q, U*wp)
             for u in range(UNROLL):
                 pu = plane[:, u * wp:(u + 1) * wp]
-                if wp > 128:
-                    ga = jnp.take_along_axis(pu[:, :128], gidx_a, axis=1)
-                    gb = jnp.take_along_axis(pu[:, 128:], gidx_b, axis=1)
-                    win = jnp.where(in_a, ga, gb)
-                else:
-                    win = jnp.take_along_axis(pu, gidx, axis=1)
+                win = jnp.take_along_axis(pu[:, :128], gidx_t[0], axis=1)
+                for t in range(1, n_tiles):
+                    gt = jnp.take_along_axis(
+                        pu[:, t * 128:(t + 1) * 128], gidx_t[t], axis=1)
+                    win = jnp.where(tile_of == t, gt, win)
                 d = (h0 + u) - (y0 - r)              # (Q, 1)
                 wgt = (jnp.where(d == i_of, 1.0 - fy, 0.0)
                        + jnp.where(d == i_of + 1, fy, 0.0)) * scale
@@ -210,6 +208,10 @@ def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # whole-f2-level residency: the 1440x2560 level-0 block alone is
+            # ~34 MB bf16; the default 16 MB scoped limit is far below the
+            # physical VMEM
+            vmem_limit_bytes=112 * 2 ** 20,
         ),
         interpret=interpret,
     )(idx, frac, f1, *f2p)

@@ -120,3 +120,31 @@ def test_chunked_corr_matches_full():
     want = np.asarray(CorrPyramid.build(f1, f2).lookup(coords))
     got = np.asarray(ChunkedCorr.build(f1, f2, chunk=96).lookup(coords))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_lookup_wide_level():
+    """Level widths beyond two lane tiles (Spring 1080p: wl=240 -> wp=384):
+    the per-tile gather/select chain must stay exact (regression for the
+    2-tile cap that broke the for_resolution() high-res path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streamflow_tpu.ops.corr import CorrPyramid
+    from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
+        fused_corr_lookup,
+        pool_pyramid,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 1, 24, 240, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    coords = np.stack([gx, gy], -1)[None].astype(np.float32)
+    coords = jnp.asarray(coords + rng.uniform(-3, 3, (B, H, W, 2)))
+    ref = CorrPyramid.build(f1, f2, 4, 4).lookup(coords)
+    out = fused_corr_lookup(f1, tuple(pool_pyramid(f2, 4)), coords, radius=4,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
