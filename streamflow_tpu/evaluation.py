@@ -91,7 +91,7 @@ def validate_sintel_warm(model, params, root="datasets/sintel", iters=15,
     to the training split — the reference's own eval-side warm function is
     dead code with undefined variables, evaluate_mf.py:596-632; repaired
     here rather than replicated)."""
-    from streamflow_tpu.ops.warp import forward_interpolate
+    from streamflow_tpu.ops.warp import per_pair_warm_start
 
     cache: Dict = {}
 
@@ -124,9 +124,7 @@ def validate_sintel_warm(model, params, root="datasets/sintel", iters=15,
             flows, lowres = fwd(jnp.asarray(padder.pad(imgs)),
                                 jnp.asarray(warm))
             flows = np.asarray(padder.unpad(flows))[0]
-            warped = forward_interpolate(np.asarray(lowres)[0][-1])
-            warm = np.broadcast_to(
-                warped[None, None], (1, nframes - 1, *warped.shape)).copy()
+            warm = per_pair_warm_start(np.asarray(lowres)[0])
             prev_scene = rec.scene
             for p in range(nframes - 1):
                 if s["frame_ids"][p] != -1:
@@ -192,19 +190,29 @@ def validate_spring(model, params, root="datasets/spring", iters=15,
             valid = ~np.isnan(gt.sum(-1))
             mag = np.sqrt((np.nan_to_num(gt) ** 2).sum(-1))
             epe = _epe_map(flows[p], np.nan_to_num(gt))
-            epes.append(epe.reshape(-1))
+            # Headline EPE/1px over VALID pixels only. Deviation from the
+            # reference (evaluate_mf.py:74-90), whose unmasked mean lets the
+            # NaN GT poison epe_all; counting pred magnitude against zeroed
+            # GT would be equally wrong. Speed-band metrics below already
+            # mask. Documented in PARITY.md.
+            epes.append(epe[valid].reshape(-1))
             e10.append(epe[valid & (mag < 10)].reshape(-1))
             e10_40.append(epe[valid & (mag >= 10) & (mag < 40)].reshape(-1))
             e40.append(epe[valid & (mag >= 40)].reshape(-1))
         if progress and i % 20 == 0:
             print(f"  spring {i}/{len(ds)}", flush=True)
     epe_all = np.concatenate(epes)
+
+    def _rate(parts):
+        v = np.concatenate(parts)
+        return float((v > 1).mean()) if v.size else float("nan")
+
     res = {
         "spring_epe": float(epe_all.mean()),
         "spring_1px": float((epe_all > 1).mean()),
-        "spring_1px_s0_10": float((np.concatenate(e10) > 1).mean()),
-        "spring_1px_s10_40": float((np.concatenate(e10_40) > 1).mean()),
-        "spring_1px_s40": float((np.concatenate(e40) > 1).mean()),
+        "spring_1px_s0_10": _rate(e10),
+        "spring_1px_s10_40": _rate(e10_40),
+        "spring_1px_s40": _rate(e40),
     }
     print(f"Spring EPE: {res['spring_epe']:.4f}, 1px: {res['spring_1px']:.4f} "
           f"(s0-10 {res['spring_1px_s0_10']:.4f}, "

@@ -197,8 +197,9 @@ def vmem_estimate(h, w, ks, dtype_bytes=2):
     wp += (-wp) % 8
     strip = min(STRIP, h)
     return 128 * (
-        (h + 2 * rmax) * wp * dtype_bytes       # A
-        + (strip + 2 * rmax) * w * dtype_bytes  # S
+        (h + 2 * rmax) * wp * dtype_bytes       # A (io dtype)
+        + (strip + 2 * rmax) * w * 4            # S slab scratch is always f32
+        + 4 * strip * w * 4                     # per-strip f32 partial sums
         + strip * w * 4                         # acc
         + 2 * h * w * dtype_bytes * 2           # in/out blocks (dbl-buffered)
     )
@@ -217,7 +218,6 @@ def _fwd(x, weights, biases, ks):
 
 def _bwd(ks, res, g):
     x, weights, biases = res
-    stages = tuple(zip(weights, biases))
 
     def f(x_, ws, bs):
         return chain_xla(x_, tuple(zip(ws, bs)))

@@ -33,3 +33,17 @@ def forward_interpolate(flow) -> np.ndarray:
     flow_x = _interp.griddata((x1, y1), dxf, (x0, y0), method="nearest", fill_value=0)
     flow_y = _interp.griddata((x1, y1), dyf, (x0, y0), method="nearest", fill_value=0)
     return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
+
+
+def per_pair_warm_start(lowres) -> np.ndarray:
+    """Next-window flow_init from this window's low-res flows, PER PAIR:
+    pair i of the next window is initialized from the forward-interpolated
+    low-res flow of pair i of this window — the reference's
+    `flow_prev = [forward_interpolate(flows_lowres[i][0]) ...]`
+    (evaluate_mf.py:304-305).
+
+    lowres: (T-1, h, w, 2) -> (1, T-1, h, w, 2) float32 (batch dim added).
+    """
+    lowres = np.asarray(lowres)
+    return np.stack([forward_interpolate(lowres[p])
+                     for p in range(lowres.shape[0])])[None]

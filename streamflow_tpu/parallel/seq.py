@@ -25,18 +25,23 @@ def make_seq_sharded_forward(model, mesh: Mesh, iters=None):
     identical numerics to the unsharded model."""
     img_sh = NamedSharding(mesh, P(None, None, "seq", None, None))
     repl = NamedSharding(mesh, P())
+    # Output: batch stays sharded over 'data'; only the SPATIAL dims are
+    # forced replicated. Re-pinning the upsampled flows to an H- or
+    # W-sharded layout trips an XLA SPMD partitioner miscompile around the
+    # convex-upsample graph (sharded-spatial output constraints return
+    # garbage on the CPU partitioner; spatially-replicated is exact —
+    # verified element-wise against the unsharded forward). Memory cost of
+    # the workaround: each device in a seq group materializes the full
+    # (B/n_data, T-1, H, W, 2) upsampled output — 16 MB/frame-pair fp32 at
+    # 1080p, small next to the sharded volume; revisit when the partitioner
+    # bug is fixed.
+    out_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit
     def fwd(params, images):
         images = jax.lax.with_sharding_constraint(images, img_sh)
         flows = model.apply(params, images, iters=iters, test_mode=True)
-        # Replicated output: the input constraint is what drives the sharded
-        # compute; re-pinning the upsampled flows to a spatially-sharded
-        # layout here trips an XLA SPMD partitioner miscompile around the
-        # convex-upsample graph (H- or W-sharded output constraints return
-        # garbage on the CPU partitioner; replicated is exact — verified
-        # element-wise against the unsharded forward).
-        return jax.lax.with_sharding_constraint(flows, repl)
+        return jax.lax.with_sharding_constraint(flows, out_sh)
 
     def run(params, images):
         params = jax.device_put(params, repl)

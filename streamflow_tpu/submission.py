@@ -17,7 +17,7 @@ from streamflow_tpu.data import frame_utils, mf_datasets
 from streamflow_tpu.data.flow_viz import flow_to_image
 from streamflow_tpu.evaluation import JittedForward
 from streamflow_tpu.ops.padding import InputPadder
-from streamflow_tpu.ops.warp import forward_interpolate
+from streamflow_tpu.ops.warp import per_pair_warm_start
 
 
 def create_sintel_submission(model, params, root="datasets/sintel",
@@ -88,14 +88,7 @@ def create_sintel_submission_warm(model, params, root="datasets/sintel",
             flows, lowres = fwd(jnp.asarray(padder.pad(imgs)),
                                 jnp.asarray(warm))
             flows = np.asarray(padder.unpad(flows))[0]
-            lowres = np.asarray(lowres)[0]
-            # Warm start for the next window: forward-warp the LAST pair's
-            # low-res flow into every pair slot (the next window starts at
-            # this window's final frame).
-            warped = forward_interpolate(lowres[-1])
-            warm = np.broadcast_to(
-                warped[None, None], (1, nframes - 1, *warped.shape)
-            ).copy()
+            warm = per_pair_warm_start(np.asarray(lowres)[0])
             prev_scene = rec.scene
             for p in range(nframes - 1):
                 fid = int(s["frame_ids"][p])

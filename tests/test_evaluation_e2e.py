@@ -195,3 +195,118 @@ def test_validate_sintel_warm(sintel_root, model_and_params):
     res = validate_sintel_warm(model, params, root=sintel_root, iters=2,
                                nframes=T, dstypes=("clean",), progress=False)
     assert np.isfinite(res["clean_warm_epe"]) and res["clean_warm_epe"] > 0.1
+
+
+def test_per_pair_warm_start_semantics():
+    """The next-window flow_init is built PER PAIR (reference
+    evaluate_mf.py:304-305), not a broadcast of the last pair's flow:
+    regression test for the r2 broadcast deviation."""
+    from streamflow_tpu.ops.warp import per_pair_warm_start
+
+    h, w = 16, 24
+    # Constant flow per pair: forward-interpolating a constant field
+    # returns (approximately) the same constant in the interior, so the
+    # per-pair identity is directly observable.
+    consts = [(1.0, 0.0), (0.0, 1.0), (2.0, -1.0)]
+    lowres = np.stack([np.full((h, w, 2), 0.0, np.float32) + np.r_[cx, cy]
+                       for cx, cy in consts])
+    warm = per_pair_warm_start(lowres)
+    assert warm.shape == (1, 3, h, w, 2)
+    interior = (slice(4, h - 4), slice(4, w - 4))
+    for p, (cx, cy) in enumerate(consts):
+        np.testing.assert_allclose(warm[0, p][interior][..., 0], cx, atol=1e-5)
+        np.testing.assert_allclose(warm[0, p][interior][..., 1], cy, atol=1e-5)
+    # and pairs genuinely differ (a broadcast would make them equal)
+    assert np.abs(warm[0, 0] - warm[0, 2]).max() > 0.5
+
+
+def test_model_flow_init_is_per_pair(model_and_params):
+    """A flow_init on pair 0 only must move pair 0's low-res output by
+    (approximately) that offset relative to zero-init, pair-addressed —
+    the model contract the per-pair warm start relies on
+    (core/models/streamflow.py:114-115)."""
+    import jax.numpy as jnp
+
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.integers(0, 255, (1, T, H, W, 3)), jnp.float32)
+    zero = jnp.zeros((1, T - 1, H // 8, W // 8, 2), jnp.float32)
+    init = zero.at[:, 0].add(3.0)
+
+    _, low0 = model.apply(params, imgs, iters=0, test_mode=True,
+                          flow_init=zero)
+    _, low1 = model.apply(params, imgs, iters=0, test_mode=True,
+                          flow_init=init)
+    d = np.asarray(low1) - np.asarray(low0)
+    np.testing.assert_allclose(d[0, 0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(d[0, 1:], 0.0, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def spring_root(tmp_path_factory):
+    """Synthetic Spring train tree: scene 0041 (the val split), both cams,
+    FW+BW .flo5 GT at 2x resolution with the TOP HALF NaN (invalid)."""
+    root = tmp_path_factory.mktemp("spring_e2e")
+    rng = np.random.default_rng(3)
+    for cam in ["left", "right"]:
+        d = root / "train" / "0041" / f"frame_{cam}"
+        d.mkdir(parents=True)
+        for i in range(1, 5):
+            Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+            ).save(d / f"frame_{cam}_{i:04d}.png")
+        for tag, idxs in [("FW", [1, 2, 3]), ("BW", [4, 3, 2])]:
+            fd = root / "train" / "0041" / f"flow_{tag}_{cam}"
+            fd.mkdir(parents=True)
+            for i in idxs:
+                gt = rng.standard_normal((2 * H, 2 * W, 2)).astype(np.float32)
+                gt[: H] = np.nan
+                frame_utils.write_flo5(
+                    str(fd / f"flow_{tag}_{cam}_{i:04d}.flo5"), gt)
+    return str(root)
+
+
+def test_validate_spring_masks_invalid(spring_root, model_and_params):
+    """spring_epe / spring_1px are computed over VALID (non-NaN GT) pixels
+    only — regression test for the r2 nan_to_num deviation (and for the
+    reference's own NaN-poisoned epe_all, evaluate_mf.py:74-90)."""
+    from streamflow_tpu.data import mf_datasets
+    from streamflow_tpu.evaluation import validate_spring
+
+    model, params = model_and_params
+    res = validate_spring(model, params, root=spring_root, iters=2,
+                          nframes=T, progress=False)
+    assert np.isfinite(res["spring_epe"])
+
+    # Independent recompute: run the same model over the same windows and
+    # accumulate the valid-masked EPE directly.
+    import jax
+    import jax.numpy as jnp
+    import os.path as osp
+    from streamflow_tpu.ops.padding import InputPadder
+
+    ds = mf_datasets.SpringVal(root=osp.join(spring_root, "train"),
+                               nframes=T, subsample_groundtruth=True)
+    assert len(ds) == 4  # 2 cams x 2 directions, one window each
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply(p, x, iters=2, test_mode=True)
+
+    vals = []
+    for i in range(len(ds)):
+        s = ds.load(i)
+        imgs = s["images"][None]
+        padder = InputPadder(imgs.shape[-3:], mode="sintel")
+        flows = np.asarray(padder.unpad(fwd(params, jnp.asarray(
+            padder.pad(imgs)))))[0]
+        for p in range(T - 1):
+            if s["frame_ids"][p] == -1:
+                continue
+            gt = s["flows"][p]
+            valid = ~np.isnan(gt.sum(-1))
+            assert valid.any() and not valid.all()
+            epe = np.sqrt(((flows[p] - np.nan_to_num(gt)) ** 2).sum(-1))
+            vals.append(epe[valid].reshape(-1))
+    expected = float(np.concatenate(vals).mean())
+    np.testing.assert_allclose(res["spring_epe"], expected, rtol=1e-6)
