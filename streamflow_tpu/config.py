@@ -54,6 +54,13 @@ class StreamFlowConfig:
     # (N, N) volume — required at Spring 1080p+ where the volume is 4.2GB/pair.
     # Pick with `for_resolution()`.
     corr_impl: str = "xla"
+    # Storage dtype of the materialized correlation pyramid (corr_impl='xla'):
+    # "auto" = bf16 under mixed precision else fp32; "int8" quantizes each
+    # level with a per-batch absmax/127 scale (4x less HBM traffic than fp32
+    # on the dominant per-iteration stream; lookup dequantizes after the
+    # bilinear contraction). Gate "int8" on the accuracy test in
+    # tests/test_ops_parity.py::test_int8_volume_quantization_error.
+    corr_store: str = "auto"
     # "full" materializes the (N, N) attention map once (reference non-flash
     # path); "flash" recomputes softmax(qk)v per iteration with the blocked
     # Pallas kernel — numerically identical, O(N) memory.

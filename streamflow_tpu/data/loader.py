@@ -23,9 +23,15 @@ import numpy as np
 
 
 class DataLoader:
+    """``process_index``/``process_count`` shard the (seed-consistent) global
+    shuffle per host for multi-host training: every host draws the SAME
+    permutation, then takes its strided slice — disjoint coverage with no
+    coordination traffic. ``batch_size`` is the PER-HOST batch size."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 4):
+                 seed: int = 0, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -33,23 +39,34 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _host_len(self):
+        return len(self.ds) // self.process_count
 
     def __len__(self):
-        n = len(self.ds)
+        n = self._host_len()
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         """Yield batches {'images','flows','valids'} stacked on axis 0."""
-        n = len(self.ds)
-        order = np.arange(n)
+        order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.process_count > 1:
+            # strided per-host slice of the shared permutation, truncated so
+            # every host sees the same number of batches (no host can run
+            # ahead into a collective the others never reach)
+            order = order[self.process_index::self.process_count]
+            order = order[: self._host_len()]
         nb = len(self)
 
         def load_one(flat_idx: int):
             idx = int(order[flat_idx])
             rng = np.random.default_rng(
-                (self.seed, epoch, flat_idx, 0x5F3759DF))
+                (self.seed, epoch, flat_idx, self.process_index, 0x5F3759DF))
             return self.ds.load(idx, rng)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -96,7 +113,13 @@ def prefetch_to_device(batches, mesh=None, depth: int = 2):
 
     import jax
 
-    if mesh is not None:
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: assemble each host's slice into one global sharded
+        # array (batch axis = per_host_bs * process_count globally)
+        from streamflow_tpu.parallel.multihost import form_global_batch
+
+        put = lambda b: form_global_batch(mesh, b)
+    elif mesh is not None:
         from streamflow_tpu.parallel import shard_batch
 
         put = lambda b: shard_batch(mesh, b)

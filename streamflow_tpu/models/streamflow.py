@@ -192,6 +192,9 @@ class StreamFlow(nn.Module):
 
             pyramid = ChunkedCorr.build(f1, f2, cfg.corr_levels,
                                         cfg.corr_radius)
+        elif cfg.corr_store == "int8":
+            pyramid = CorrPyramid.build(f1, f2, cfg.corr_levels,
+                                        cfg.corr_radius, quantize=True)
         else:
             pyramid = CorrPyramid.build(f1, f2, cfg.corr_levels,
                                         cfg.corr_radius, store_dtype=dtype)

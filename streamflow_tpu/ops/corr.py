@@ -105,12 +105,15 @@ def _lookup_level(corr_l: jax.Array, coords: jax.Array, level: int, radius: int)
     ctr = coords.astype(jnp.float32) / (2.0 ** level)
     oy = _onehot_bilinear(ctr[..., 1], hl, radius)  # (B, N, k, Hl)
     ox = _onehot_bilinear(ctr[..., 0], wl, radius)  # (B, N, k, Wl)
-    rows = jnp.einsum("bnkh,bnhw->bnkw", oy.astype(corr_l.dtype), corr_l,
+    # int8-stored volumes contract in bf16 (int8 magnitudes <= 127 are exact
+    # in bf16); the convert fuses into the dot so HBM reads stay 1 byte/elem.
+    cd = jnp.bfloat16 if corr_l.dtype == jnp.int8 else corr_l.dtype
+    rows = jnp.einsum("bnkh,bnhw->bnkw", oy.astype(cd), corr_l.astype(cd),
                       preferred_element_type=jnp.float32)
     # out[..., ix, iy]: x-major window order (reference flattens with
     # delta[...,0] added to x, core/corr.py:33-44)
-    out = jnp.einsum("bnxw,bnyw->bnxy", ox.astype(corr_l.dtype),
-                     rows.astype(corr_l.dtype),
+    out = jnp.einsum("bnxw,bnyw->bnxy", ox.astype(cd),
+                     rows.astype(cd),
                      preferred_element_type=jnp.float32)
     k = 2 * radius + 1
     return out.reshape(b, n, k * k)
@@ -129,6 +132,9 @@ class CorrPyramid:
     radius: int = flax.struct.field(pytree_node=False)
     h: int = flax.struct.field(pytree_node=False)
     w: int = flax.struct.field(pytree_node=False)
+    # per-level (B,) fp32 dequantization scales when the volume is stored
+    # int8; empty tuple = direct (fp32/bf16) storage
+    scales: tuple = ()
 
     @classmethod
     def build(
@@ -138,9 +144,14 @@ class CorrPyramid:
         num_levels: int = 4,
         radius: int = 4,
         store_dtype=None,
+        quantize: bool = False,
     ) -> "CorrPyramid":
         """store_dtype=bf16 halves the volume's HBM residency and the
-        per-iteration lookup reads.
+        per-iteration lookup reads; ``quantize=True`` stores each level as
+        int8 with a per-(batch, level) absmax/127 scale — 4x less HBM
+        traffic than fp32 on the dominant per-iteration volume stream, with
+        the dequant applied AFTER the bilinear contraction (the lookup is
+        linear in the volume).
 
         Each level is computed as fmap1 @ avgpool^l(fmap2): pooling commutes
         with the dot product, so this equals avg-pooling the level-0 volume
@@ -151,6 +162,7 @@ class CorrPyramid:
         f1 = fmap1.reshape(b, h * w, c)
         scale = 1.0 / math.sqrt(c)
         levels = []
+        scales = []
         f2 = fmap2
         for lv in range(num_levels):
             if lv:
@@ -172,9 +184,18 @@ class CorrPyramid:
                 preferred_element_type=jnp.float32,
             ) * scale
             vol = vol.reshape(b, h * w, hl, wl)
-            levels.append(vol.astype(store_dtype) if store_dtype is not None
-                          else vol)
-        return cls(levels=tuple(levels), radius=radius, h=h, w=w)
+            if quantize:
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(vol), axis=(1, 2, 3)), 1e-12) / 127.0
+                scales.append(s)
+                levels.append(
+                    jnp.clip(jnp.round(vol / s[:, None, None, None]),
+                             -127, 127).astype(jnp.int8))
+            else:
+                levels.append(vol.astype(store_dtype)
+                              if store_dtype is not None else vol)
+        return cls(levels=tuple(levels), radius=radius, h=h, w=w,
+                   scales=tuple(scales))
 
     def lookup(self, coords: jax.Array, out_dtype=None) -> jax.Array:
         """coords: (B, H, W, 2) pixel xy -> (B, H, W, L*(2r+1)^2).
@@ -187,10 +208,12 @@ class CorrPyramid:
         b, h, w, _ = coords.shape
         out_dtype = out_dtype or jnp.float32
         pts = coords.reshape(b, h * w, 2)
-        outs = [
-            _lookup_level(lvl, pts, i, self.radius).astype(out_dtype)
-            for i, lvl in enumerate(self.levels)
-        ]
+        outs = []
+        for i, lvl in enumerate(self.levels):
+            o = _lookup_level(lvl, pts, i, self.radius)
+            if self.scales:
+                o = o * self.scales[i][:, None, None]
+            outs.append(o.astype(out_dtype))
         out = jnp.concatenate(outs, axis=-1)
         return out.reshape(b, h, w, -1)
 

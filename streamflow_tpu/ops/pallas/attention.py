@@ -69,8 +69,12 @@ def _flash_xla(q, k, v, kv_chunk: int = 2048):
     return (acc / row_sum[..., None]).astype(v.dtype)
 
 
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
 def _flash_impl(q, k, v):
-    if jax.default_backend() == "tpu":
+    if _on_tpu():
         try:
             from streamflow_tpu.ops.pallas._attention_kernel import (
                 flash_attention_tpu,
@@ -84,18 +88,38 @@ def _flash_impl(q, k, v):
 
 @jax.custom_vjp
 def _flash_scaled(q, k, v):
-    """softmax(q k^T) v, q pre-scaled. Pallas kernel forward on TPU; the
-    backward recomputes attention through the streaming XLA implementation
-    (same math, O(N) residency) so training with attn_impl='flash' works."""
+    """softmax(q k^T) v, q pre-scaled. Pallas kernels on TPU for BOTH
+    directions (the backward rebuilds tile probabilities from the saved
+    logsumexp — the standard flash recompute scheme, matching the
+    reference's flash-attn training path, test_memory.py:248); streaming
+    XLA implementation elsewhere."""
     return _flash_impl(q, k, v)
 
 
 def _flash_fwd(q, k, v):
-    return _flash_impl(q, k, v), (q, k, v)
+    if _on_tpu():
+        try:
+            from streamflow_tpu.ops.pallas._attention_kernel import (
+                flash_attention_tpu,
+            )
+
+            o, lse = flash_attention_tpu(q, k, v, return_lse=True)
+            return o, (q, k, v, o, lse)
+        except Exception:
+            pass
+    return _flash_xla(q, k, v), (q, k, v, None, None)
 
 
 def _flash_bwd(res, g):
-    q, k, v = res
+    q, k, v, o, lse = res
+    if lse is not None:
+        from streamflow_tpu.ops.pallas._attention_kernel import (
+            flash_attention_bwd_tpu,
+        )
+
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1)
+        return flash_attention_bwd_tpu(q, k, v, g, lse, delta)
     _, vjp = jax.vjp(_flash_xla, q, k, v)
     return vjp(g)
 

@@ -121,3 +121,54 @@ def test_spatiotemporal_and_tmm_aggregates_identity_at_init():
     y3 = m3.apply(p3, attn, tattn, fmap)
     assert y3.shape == fmap.shape
     np.testing.assert_allclose(np.asarray(y3), np.asarray(fmap), atol=1e-6)
+
+
+def test_pallas_fwd_lse_interpret_mode():
+    """return_lse: the emitted logsumexp matches the naive row logsumexp."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from streamflow_tpu.ops.pallas import _attention_kernel as ak
+
+    b, h, nq, nk, d = 1, 1, 256, 300, 128
+    q = jnp.asarray(RNG.standard_normal((b, h, nq, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        o, lse = ak.flash_attention_tpu(q, k, v, block_q=128, block_k=128,
+                                        return_lse=True)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    want_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(naive(q, k, v)),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("nq,nk", [(256, 256), (200, 300)])
+def test_pallas_bwd_kernels_interpret_mode(nq, nk):
+    """The Pallas backward (dq/dkv recompute kernels) matches jax.grad of
+    the naive attention, including padded (non-multiple-of-block) shapes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from streamflow_tpu.ops.pallas import _attention_kernel as ak
+
+    b, h, d = 1, 2, 128
+    q = jnp.asarray(RNG.standard_normal((b, h, nq, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, nk, d)), jnp.float32)
+    g = jnp.asarray(RNG.standard_normal((b, h, nq, d)), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(naive(q, k, v) * g)
+
+    want = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        o, lse = ak.flash_attention_tpu(q, k, v, block_q=128, block_k=128,
+                                        return_lse=True)
+        delta = jnp.sum(g * o, axis=-1)
+        got = ak.flash_attention_bwd_tpu(q, k, v, g, lse, delta,
+                                         block_q=128, block_k=128)
+    for a, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   atol=5e-4, rtol=5e-4)

@@ -38,6 +38,7 @@ def test_streamflow_test_mode(sf_model_and_params):
     assert np.isfinite(np.asarray(flows)).all()
 
 
+@pytest.mark.slow
 def test_streamflow_train_mode_emits_per_iter(sf_model_and_params):
     model, params, imgs = sf_model_and_params
     preds = model.apply(params, imgs, iters=2)

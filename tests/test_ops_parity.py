@@ -175,3 +175,34 @@ def test_input_padder_roundtrip():
     l, r, tt, bb = padder._pad
     tp = TF.pad(t, (l, r, tt, bb), mode="replicate").permute(0, 2, 3, 1).numpy()
     np.testing.assert_array_equal(np.asarray(xp), tp)
+
+
+def test_int8_volume_quantization_error():
+    """int8-stored pyramid (CorrPyramid.build(quantize=True)): the lookup
+    must match the fp32 lookup within the quantization bound (scale/2 per
+    tap; bilinear taps are convex combinations so the window error stays
+    below ~scale). This is the accuracy gate for corr_store='int8'."""
+    from streamflow_tpu.ops.corr import CorrPyramid
+
+    rng = np.random.default_rng(11)
+    b, h, w, c = 2, 16, 24, 64
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    coords = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(w), np.arange(h), indexing="xy"),
+                 axis=-1)[None].repeat(b, 0)
+        + 2.5 * rng.standard_normal((b, h, w, 2)), jnp.float32)
+
+    ref = CorrPyramid.build(f1, f2, 4, 4)
+    q8 = CorrPyramid.build(f1, f2, 4, 4, quantize=True)
+    assert all(lvl.dtype == jnp.int8 for lvl in q8.levels)
+    assert len(q8.scales) == 4
+
+    out_ref = np.asarray(ref.lookup(coords))
+    out_q = np.asarray(q8.lookup(coords))
+    # worst-case per-tap error is scale/2; bilinear mixing keeps it there
+    bound = float(np.max([np.asarray(s).max() for s in q8.scales]))
+    err = np.abs(out_q - out_ref)
+    assert err.max() <= bound * 1.01, (err.max(), bound)
+    # and the volume is genuinely informative after dequant (not collapsed)
+    assert np.corrcoef(out_q.reshape(-1), out_ref.reshape(-1))[0, 1] > 0.9999

@@ -91,6 +91,7 @@ def test_params_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["c"], params["c"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [8])
 def test_sharded_train_step_virtual_mesh(n_dev):
     """Two sharded steps on the 8-device CPU mesh: loss decreases and state
@@ -133,6 +134,55 @@ def test_sharded_train_step_virtual_mesh(n_dev):
     assert float(m2["loss"]) < float(m1["loss"])  # same batch -> must improve
 
 
+@pytest.mark.slow
+def test_sharded_step_equals_unsharded():
+    """The actual data-parallel correctness property (the reference's only
+    parallelism contract: DataParallel == single-GPU, train_mf.py:146): one
+    8-way-sharded train step produces the same loss and updated params as
+    the unsharded step on the same batch, up to reduction-order rounding."""
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.parallel import make_mesh, replicate, shard_batch
+    from streamflow_tpu.training.state import TrainState
+    from streamflow_tpu.training.step import make_train_step, shard_train_step
+
+    n_dev = 8
+    mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+    rng = np.random.default_rng(5)
+    B, T, H, W = n_dev, 4, 64, 64
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)),
+                              dtype=jnp.float32),
+        "flows": jnp.asarray(0.1 * rng.standard_normal((B, T - 1, H, W, 2)),
+                             dtype=jnp.float32),
+        "valids": jnp.ones((B, T - 1, H, W), jnp.float32),
+    }
+    cfg = StreamFlowConfig(T=T, iters=1, mixed_precision=False)
+    model = create_model("streamflow", cfg=cfg)
+    params = jax.jit(lambda k, x: model.init(k, x, iters=1))(
+        jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(1e-4, 100)
+    step_fn = make_train_step(model, tx, 0.85, iters=1)
+
+    s_ref, m_ref = jax.jit(step_fn)(TrainState.create(params, tx), batch)
+    with mesh:
+        state = replicate(mesh, TrainState.create(params, tx))
+        sb = shard_batch(mesh, batch)
+        s_sh, m_sh = shard_train_step(step_fn, mesh)(state, sb)
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_sh["epe"]), float(m_ref["epe"]),
+                               rtol=1e-5)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    sh_leaves = jax.tree_util.tree_leaves(s_sh.params)
+    assert len(ref_leaves) == len(sh_leaves)
+    for a, b in zip(sh_leaves, ref_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-3)
+
+
+@pytest.mark.slow
 def test_bidirectional_train_step_virtual_mesh():
     """bithings: sharded train step with fw+bw supervision on a synthetic
     bidirectional batch (reference stage recipe core/mf_datasets.py:1445-1450)."""
@@ -174,6 +224,7 @@ def test_bidirectional_train_step_virtual_mesh():
     assert float(m2["loss"]) < float(m1["loss"])
 
 
+@pytest.mark.slow
 def test_batchnorm_stats_update_basic_encoder():
     """encoder='basic' (BatchNorm cnet): the train step must update the
     running batch statistics through the mutable collection and must NOT
@@ -213,6 +264,7 @@ def test_batchnorm_stats_update_basic_encoder():
     assert changed, "running BN stats did not update"
 
 
+@pytest.mark.slow
 def test_seq_sharded_forward_matches_unsharded():
     """'seq' mesh axis in use (SURVEY §2.6 TP row): the H axis of one clip
     sharded over 2 devices via GSPMD must reproduce the unsharded forward."""
@@ -234,6 +286,7 @@ def test_seq_sharded_forward_matches_unsharded():
                                rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_two_frame_train_step():
     """RAFT two-frame training step (tools/train_2f.py path): finite loss,
     improves on a repeated batch."""

@@ -74,6 +74,12 @@ def parse_args():
     p.add_argument("--val_iters", type=int, default=15)
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--num_workers", type=int, default=8)
+    # multi-host (TPU pod / multi-process): either pass all three, or rely
+    # on the environment (pod metadata / JAX_COORDINATOR_ADDRESS)
+    p.add_argument("--coordinator", default=None,
+                   help="coordination-service address host:port (process 0)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--mixed_precision", action="store_true", default=True)
     p.add_argument("--no_mixed_precision", dest="mixed_precision",
                    action="store_false")
@@ -129,7 +135,7 @@ def main():
     from streamflow_tpu.data.loader import DataLoader, prefetch_to_device
     from streamflow_tpu.data.mf_datasets import fetch_dataset
     from streamflow_tpu.models import create_model
-    from streamflow_tpu.parallel import make_mesh, replicate, shard_batch
+    from streamflow_tpu.parallel import make_mesh, multihost, replicate
     from streamflow_tpu.training.checkpoint import (
         CheckpointManager, load_params_npz, save_params_npz,
     )
@@ -138,11 +144,19 @@ def main():
     from streamflow_tpu.training.step import make_train_step, shard_train_step
     from streamflow_tpu.utils.logger import MetricsLogger, Tee
 
+    # Multi-host: must run before any device query. No-op single-process.
+    proc_idx, proc_cnt = multihost.initialize(
+        args.coordinator, args.num_processes, args.process_id)
+    primary = proc_idx == 0
+
     out = Path(args.output) / args.name
     out.mkdir(parents=True, exist_ok=True)
-    Tee(out / "log.txt").install()
-    print(f"devices: {jax.devices()}")
-    print(vars(args))
+    if primary:
+        Tee(out / "log.txt").install()
+        print(f"devices: {jax.devices()} "
+              f"(process {proc_idx}/{proc_cnt}, "
+              f"{jax.local_device_count()} local)")
+        print(vars(args))
 
     cfg = StreamFlowConfig(T=args.T, iters=args.iters,
                            mixed_precision=args.mixed_precision)
@@ -154,11 +168,17 @@ def main():
         multi_root=args.multi_root, hd1k_root=args.hd1k_root,
         spring_root=args.spring_root,
     )
-    print(f"training with {len(dataset)} clips")
-    loader = DataLoader(dataset, args.batch_size,
-                        num_workers=args.num_workers, seed=args.seed)
+    if primary:
+        print(f"training with {len(dataset)} clips")
+    # --batch_size is the GLOBAL batch; each host loads its slice.
+    assert args.batch_size % proc_cnt == 0, (
+        f"global batch {args.batch_size} must divide over {proc_cnt} hosts")
+    loader = DataLoader(dataset, args.batch_size // proc_cnt,
+                        num_workers=args.num_workers, seed=args.seed,
+                        process_index=proc_idx, process_count=proc_cnt)
 
-    mesh = make_mesh()
+    # GLOBAL mesh over every process's devices.
+    mesh = make_mesh(devices=jax.devices())
     n_dev = mesh.devices.size
     assert args.batch_size % n_dev == 0, (
         f"batch {args.batch_size} must divide over {n_dev} devices")
@@ -214,8 +234,9 @@ def main():
                     pending.clear()
                 if cur % args.val_freq == 0:
                     ckpt.save(state)
-                    print(f"checkpointed at step {cur}")
-                    if args.validation != "none":
+                    if primary:
+                        print(f"checkpointed at step {cur}")
+                    if args.validation != "none" and primary:
                         res = run_validation(args.validation, model,
                                              jax.device_get(state.variables),
                                              args)
