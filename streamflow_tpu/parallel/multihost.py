@@ -70,3 +70,16 @@ def form_global_batch(mesh: Mesh, batch):
 def is_primary() -> bool:
     """True on the process that should own logging/plots (host 0)."""
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Block until every process reaches this barrier, via the coordination
+    service (plain RPC — no device collectives). Use after per-process
+    compilation and before the first collective: gloo/ICI context setup has
+    a short handshake timeout, and compile-time skew between hosts
+    (cache hits vs misses) otherwise breaks it. No-op single-process."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_s * 1000)

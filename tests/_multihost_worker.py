@@ -17,6 +17,9 @@ pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+# both workers live on this machine; gloo must rendezvous over loopback
+# (the default interface pick can be a non-routable container address)
+os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -76,7 +79,21 @@ with mesh:
         state)
     batch = multihost.form_global_batch(mesh, local)
     step = shard_train_step(make_train_step(model, tx, 0.85, iters=1), mesh)
-    state, metrics = step(state, batch)
+    # AOT-compile BEFORE the first collective: compilation is minutes on a
+    # cold CPU cache, and the gloo context init (triggered by the first
+    # collective execution) times out after ~30s if the peers' first
+    # collectives are skewed by compile time. Compiling first bounds the
+    # skew at the collective to the compile-time difference.
+    compiled = step.lower(state, batch).compile()
+    # coordination-service barrier so both processes enter the first
+    # collective together (gloo context setup has a ~30s handshake timeout,
+    # far shorter than possible compile-time skew)
+    multihost.barrier("post_compile")
+    # tiny collective to initialize the gloo context
+    ones = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), np.ones((1,), np.float32))
+    assert float(jnp.sum(ones)) == float(nproc)
+    state, metrics = compiled(state, batch)
     jax.block_until_ready(metrics)
 
 print(json.dumps({"process": pid,

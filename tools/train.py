@@ -212,6 +212,7 @@ def main():
 
     with mesh:
         state = replicate(mesh, state)
+        multihost.barrier("pre_train")
         logger = MetricsLogger(str(out), args.num_steps, args.print_freq)
         cur = logger.step = int(state.step)
         best_val = float("inf")
