@@ -23,7 +23,11 @@ class StreamFlowConfig:
 
     # Component selection (registry names, see streamflow_tpu.registry).
     encoder: str = "twins_csc"          # reference --Encoder Twins_CSC
-    update_block: str = "sk_tam_v3"     # reference --UpdateBlock SKUpdateBlock_TAM_v3
+    # Decoder ablations (reference --UpdateBlock): "sk_tam_v3" (canonical,
+    # SKUpdateBlock_TAM_v3), "sk_tam_v1" (per-frame flow head,
+    # core/update.py:691-735), "sk_tam_v3_noinit" (live-init temporal
+    # transformer, core/update.py:787-832).
+    update_block: str = "sk_tam_v3"
     motion_encoder: str = "sk6"         # reference --MotionEncoder SKMotionEncoder6_Deep_nopool_res
 
     # Dimensions (reference core/models/streamflow.py:35-39).

@@ -65,17 +65,21 @@ class TinyAttention(nn.Module):
 
 
 class ZeroMlp(nn.Module):
-    """Zero-initialized 2-layer MLP (timm Mlp with GELU)."""
+    """Zero-initialized 2-layer MLP (timm Mlp with GELU). ``zero_init=False``
+    gives timm's standard init (lecun-normal kernels, zero biases) for the
+    un-gated TemporalLayer_noinit variant (reference core/update.py:516-527)."""
 
     dim: int
     hidden: int
+    zero_init: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        w1 = self.param("fc1_kernel", _zeros, (self.dim, self.hidden))
+        w_init = _zeros if self.zero_init else nn.initializers.lecun_normal()
+        w1 = self.param("fc1_kernel", w_init, (self.dim, self.hidden))
         b1 = self.param("fc1_bias", _zeros, (self.hidden,))
-        w2 = self.param("fc2_kernel", _zeros, (self.hidden, self.dim))
+        w2 = self.param("fc2_kernel", w_init, (self.hidden, self.dim))
         b2 = self.param("fc2_bias", _zeros, (self.dim,))
         dt = x.dtype
         x = gelu(x @ w1.astype(dt) + b1.astype(dt))
@@ -85,13 +89,15 @@ class ZeroMlp(nn.Module):
 class ZeroLayerNorm(nn.Module):
     """LayerNorm whose scale AND bias start at zero (an artifact of the
     reference's zero_module blanket-zeroing; preserved for checkpoint
-    compatibility)."""
+    compatibility). ``zero_init=False`` restores the standard ones-scale."""
 
     epsilon: float = 1e-5
+    zero_init: bool = True
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", _zeros, (x.shape[-1],))
+        s_init = _zeros if self.zero_init else nn.initializers.ones
+        scale = self.param("scale", s_init, (x.shape[-1],))
         bias = self.param("bias", _zeros, (x.shape[-1],))
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
@@ -101,37 +107,46 @@ class ZeroLayerNorm(nn.Module):
 
 class TransformerBlock(nn.Module):
     """Pre-norm ViT block, fully zero-init (reference TransformerBlock wrapped
-    in zero_module, core/update.py:459-484 + :453-457). mlp_ratio=2."""
+    in zero_module, core/update.py:459-484 + :453-457). mlp_ratio=2.
+    ``zero_init=False`` is the bare (standard-init) block used by
+    TemporalLayer_noinit (core/update.py:516-527)."""
 
     dim: int
     num_heads: int = 1
     mlp_ratio: int = 2
+    zero_init: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = x + TinyAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            ZeroLayerNorm(name="norm1")(x)
+        z = self.zero_init
+        x = x + TinyAttention(self.dim, self.num_heads, zero_init=z,
+                              dtype=self.dtype, name="attn")(
+            ZeroLayerNorm(zero_init=z, name="norm1")(x)
         )
-        x = x + ZeroMlp(self.dim, self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp")(
-            ZeroLayerNorm(name="norm2")(x)
+        x = x + ZeroMlp(self.dim, self.dim * self.mlp_ratio, zero_init=z,
+                        dtype=self.dtype, name="mlp")(
+            ZeroLayerNorm(zero_init=z, name="norm2")(x)
         )
         return x
 
 
 class TemporalLayer(nn.Module):
     """Apply the zero-init transformer along T (reference TemporalLayer2,
-    core/update.py:502-513).
+    core/update.py:502-513); ``zero_init=False`` is TemporalLayer_noinit
+    (core/update.py:516-527), identical graph with live (standard) init.
 
     Input/output: (B, T, H, W, C) — each (b, h, w) pixel is a T-token sequence.
     """
 
     dim: int
+    zero_init: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
         tokens = x.transpose(0, 2, 3, 1, 4)  # (B, H, W, T, C)
-        tokens = TransformerBlock(self.dim, dtype=self.dtype, name="block")(tokens)
+        tokens = TransformerBlock(self.dim, zero_init=self.zero_init,
+                                  dtype=self.dtype, name="block")(tokens)
         return tokens.transpose(0, 3, 1, 2, 4)

@@ -92,6 +92,14 @@ class MaskHead(nn.Module):
 class SKUpdateBlockTAMv3(nn.Module):
     """The canonical StreamFlow decoder (core/update.py:739-782).
 
+    Two ablation variants share this graph:
+      - ``joint_flow_head=False`` is SKUpdateBlock_TAM (v1,
+        core/update.py:691-735): per-frame flow head (D -> 2) instead of the
+        joint (F*D -> 2F) head.
+      - ``temporal_zero_init=False`` is SKUpdateBlock_TAM_v3_noinit
+        (core/update.py:787-832): TemporalLayer_noinit, i.e. the temporal
+        transformer starts live instead of as an identity.
+
     Inputs (multi-frame, F = T-1 flow fields):
       net:   (B, F, H, W, D)   hidden state
       inp:   (B, F, H, W, D)   context features
@@ -110,6 +118,8 @@ class SKUpdateBlockTAMv3(nn.Module):
     use_gma: bool = True
     ratio: int = 8
     attn_mode: str = "full"
+    joint_flow_head: bool = True
+    temporal_zero_init: bool = True
     dtype: Optional[jnp.dtype] = None
     dw_impl: str = "auto"
     # Lane-aligned execution padding inside SK blocks. MUST be False under
@@ -152,7 +162,8 @@ class SKUpdateBlockTAMv3(nn.Module):
             mf_global = mf
 
         mf_temporal = TemporalLayer(
-            self.embed_dim, dtype=self.dtype, name="transformer_block"
+            self.embed_dim, zero_init=self.temporal_zero_init,
+            dtype=self.dtype, name="transformer_block"
         )(unflat(mf))
 
         inp_cat = jnp.concatenate(
@@ -163,14 +174,22 @@ class SKUpdateBlockTAMv3(nn.Module):
             align=self.align, dw_impl=self.dw_impl, name="gru"
         )(jnp.concatenate([flat(net), inp_cat], axis=-1))
 
-        # Joint flow head over all F frames: (B, H, W, F*D) -> (B, H, W, 2F).
-        net_joint = net_f.reshape(b, f, h, w, d).transpose(0, 2, 3, 1, 4)
-        net_joint = net_joint.reshape(b, h, w, f * d)
-        delta = SKBlock(
-            2 * f, self.k_conv, dtype=self.dtype, align=self.align,
-            dw_impl=self.dw_impl, name="flow_head"
-        )(net_joint)
-        delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
+        if self.joint_flow_head:
+            # Joint flow head over all F frames:
+            # (B, H, W, F*D) -> (B, H, W, 2F).
+            net_joint = net_f.reshape(b, f, h, w, d).transpose(0, 2, 3, 1, 4)
+            net_joint = net_joint.reshape(b, h, w, f * d)
+            delta = SKBlock(
+                2 * f, self.k_conv, dtype=self.dtype, align=self.align,
+                dw_impl=self.dw_impl, name="flow_head"
+            )(net_joint)
+            delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
+        else:
+            # TAM v1: per-frame flow head (core/update.py:716, :726).
+            delta = unflat(SKBlock(
+                2, self.k_conv, dtype=self.dtype, align=self.align,
+                dw_impl=self.dw_impl, name="flow_head"
+            )(net_f))
 
         mh = MaskHead(self.embed_dim, self.ratio,
                       as_dot=self.dw_impl == "pallas", dtype=self.dtype,

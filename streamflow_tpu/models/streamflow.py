@@ -123,6 +123,8 @@ class _RefinementStep(nn.Module):
             use_gma=cfg.use_gma,
             ratio=cfg.ratio,
             attn_mode=cfg.attn_impl,
+            joint_flow_head=cfg.update_block != "sk_tam_v1",
+            temporal_zero_init=cfg.update_block != "sk_tam_v3_noinit",
             dw_impl=(("pallas" if cfg.corr_impl == "pallas" else "xla")
                      if cfg.dw_impl == "auto" else cfg.dw_impl),
             # no lane-padding under autodiff: the padded depthwise weight

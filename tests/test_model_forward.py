@@ -83,6 +83,43 @@ def test_zero_init_temporal_block_is_identity():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
+def test_noinit_temporal_block_is_live_at_init():
+    """TemporalLayer_noinit (reference core/update.py:516-527): the same
+    graph with standard init — NOT an identity at init (no zero_module
+    gating), which is the entire point of the ablation."""
+    from streamflow_tpu.layers.temporal import TemporalLayer
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 3, 4, 5, 16)),
+                    dtype=jnp.float32)
+    layer = TemporalLayer(dim=16, zero_init=False)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert np.abs(np.asarray(y) - np.asarray(x)).max() > 1e-3
+    # Same parameter tree as the zero-init variant (checkpoint-compatible).
+    zp = TemporalLayer(dim=16).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(zp)
+
+
+def test_update_block_variants_forward():
+    """sk_tam_v1 (per-frame flow head) and sk_tam_v3_noinit wire through the
+    full model (reference core/update.py:691-735, :787-832)."""
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+
+    for ub in ("sk_tam_v1", "sk_tam_v3_noinit"):
+        cfg = StreamFlowConfig(T=4, iters=2, mixed_precision=False,
+                               update_block=ub)
+        model = create_model("streamflow", cfg=cfg)
+        imgs = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (1, 4, 64, 64, 3)),
+            dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), imgs, test_mode=True)
+        flows = model.apply(params, imgs, test_mode=True)
+        assert flows.shape == (1, 3, 64, 64, 2)
+        assert np.isfinite(np.asarray(flows)).all()
+
+
 def test_gma_aggregate_zero_gamma_is_identity():
     """gamma starts at zero (core/gma.py:84): aggregate(attn, x) == x at init."""
     from streamflow_tpu.layers.gma import GMAAttention, GMAAggregate

@@ -253,6 +253,64 @@ def test_update_block_matches_reference(oracle, torch_inputs):
         masks_ref.permute(0, 1, 3, 4, 2).numpy(), atol=5e-5, rtol=1e-4)
 
 
+def test_update_block_tam_v1_matches_reference(ref, torch_inputs):
+    """SKUpdateBlock_TAM (v1, core/update.py:691-735) — identical to v3 but
+    with a per-frame flow head — vs our joint_flow_head=False variant with
+    converted weights. (The _noinit variant shares v3's graph and key layout
+    exactly, so loaded-weight parity is already covered by the v3 test; its
+    init behaviour is asserted in test_attention.py.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.convert import convert_streamflow_checkpoint
+    from streamflow_tpu.layers.update import SKUpdateBlockTAMv3
+
+    args = _ref_args()
+    args.UpdateBlock = "SKUpdateBlock_TAM"
+    torch.manual_seed(0)
+    block = ref.update.SKUpdateBlock_TAM(args).eval()
+    att = ref.gma.Attention(args=args, dim=D, heads=args.num_heads,
+                            max_pos_size=160, dim_head=D).eval()
+    _randomize(block, 5)
+    _randomize(att, 6)
+
+    sd = {f"update_block.{k}": v.numpy() for k, v in
+          block.state_dict().items()}
+    sd.update({f"att.{k}": v.numpy() for k, v in att.state_dict().items()})
+    params = convert_streamflow_checkpoint(sd, strict=False)["params"]
+
+    ti = torch_inputs
+    with torch.no_grad():
+        attn = att(ti["inps"])
+        nets_ref, masks_ref, deltas_ref = block(
+            ti["nets"], ti["inps"], ti["corrs"], ti["flows"], attn, T=F)
+
+    mod = SKUpdateBlockTAMv3(
+        embed_dim=D, num_frames=F, k_conv=(1, 15), pc_updater_conv=(1, 7),
+        num_heads=1, use_gma=True, ratio=8, attn_mode="full", dw_impl="xla",
+        joint_flow_head=False)
+    jp = {"params": params["step"]["update_block"]}
+
+    def unflat(t):
+        a = _nhwc(t)
+        return a.reshape(B, F, H, W, a.shape[-1])
+
+    net_j, mask_j, delta_j = jax.jit(mod.apply)(
+        jp, jnp.asarray(unflat(ti["nets"])), jnp.asarray(unflat(ti["inps"])),
+        jnp.asarray(unflat(ti["corrs"])), jnp.asarray(unflat(ti["flows"])),
+        jnp.asarray(attn.numpy()))
+
+    np.testing.assert_allclose(
+        np.asarray(net_j).reshape(B * F, H, W, D),
+        _nhwc(nets_ref), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(delta_j),
+        deltas_ref.permute(0, 1, 3, 4, 2).numpy(), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mask_j),
+        masks_ref.permute(0, 1, 3, 4, 2).numpy(), atol=5e-5, rtol=1e-4)
+
+
 def test_corr_block_matches_reference(ref, torch_inputs):
     """CorrBlock volume+pyramid+lookup vs ops/corr.CorrPyramid at the
     reference's own bilinear_sampler semantics, off-grid coords included."""
