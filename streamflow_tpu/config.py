@@ -51,13 +51,15 @@ class StreamFlowConfig:
     mixed_precision: bool = True
 
     # Kernel implementation selection.
-    # Correlation implementation. Measured on v5e at 440x1024 (12 iters,
-    # end-to-end): "xla" (materialized volume + gather-free one-hot lookup)
-    # is fastest; "pallas" (fused volume-matmul + lookup, O(N*C) memory) and
-    # "chunked" (lax.map sweep) cost ~10% more but never materialize the
-    # (N, N) volume — required at Spring 1080p+ where the volume is 4.2GB/pair.
-    # Pick with `for_resolution()`.
-    corr_impl: str = "xla"
+    # Correlation implementation. "auto" resolves (see ``resolve()``) to
+    # "pallas" on TPU — the fused volume-matmul + lookup kernel, O(N*C)
+    # memory, measured fastest end-to-end on v5e at 440x1024 when paired
+    # with dw_impl='xla_cond' (188 vs 216 ms/clip, r3) — and to "xla"
+    # (materialized volume + gather-free one-hot lookup) elsewhere.
+    # "chunked" (lax.map sweep) also never materializes the (N, N) volume —
+    # an O(N^2)-free fallback for Spring 1080p+ where the volume is
+    # 4.2GB/pair. Pick with `for_resolution()`.
+    corr_impl: str = "auto"
     # Storage dtype of the materialized correlation pyramid (corr_impl='xla'):
     # "auto" = bf16 under mixed precision else fp32; "int8" quantizes each
     # level with a per-batch absmax/127 scale (4x less HBM traffic than fp32
@@ -67,13 +69,18 @@ class StreamFlowConfig:
     corr_store: str = "auto"
     # "full" materializes the (N, N) attention map once (reference non-flash
     # path); "flash" recomputes softmax(qk)v per iteration with the blocked
-    # Pallas kernel — numerically identical, O(N) memory.
-    attn_impl: str = "full"
-    # Depthwise-conv stack inside SK blocks: "auto" fuses the whole
-    # gelu-residual chain into one Pallas kernel on TPU (falls back to the
-    # XLA composite off-TPU / on unsupported shapes); "xla" forces the
-    # composite; "xla_fenced" keeps XLA convs but optimization-barriers them
-    # out of surrounding fusions.
+    # Pallas kernel — numerically identical, O(N) memory. "auto" resolves to
+    # "flash" on TPU (170.6 vs 188.1 ms/clip at 440x1024 next to the fused
+    # lookup + cond-shielded convs, r3) and "full" elsewhere.
+    attn_impl: str = "auto"
+    # Depthwise-conv stack inside SK blocks. "auto" resolves (``resolve()``)
+    # to "xla_cond" when the fused Pallas lookup shares the refinement loop —
+    # XLA's dw conv emitter, each conv shielded inside a lax.cond branch
+    # computation from the Mosaic custom-call layout disease (BASELINE.md) —
+    # and to plain "xla" otherwise. "pallas" forces the fused chain kernel;
+    # "xla_fenced" optimization-barriers XLA convs out of surrounding
+    # fusions; "shift" is a k^2-tap elementwise expansion (numerics
+    # debugging only — 7.7x slower, ROADMAP.md).
     dw_impl: str = "auto"
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
@@ -111,6 +118,31 @@ class StreamFlowConfig:
     @property
     def corr_planes(self) -> int:
         return self.corr_levels * (2 * self.corr_radius + 1) ** 2
+
+    def resolve(self) -> "StreamFlowConfig":
+        """Materialize 'auto' kernel choices for the active jax backend.
+
+        Measured on v5e (440x1024, T=4, 12 iters, r3): fused Pallas lookup +
+        cond-shielded XLA dw convs = 188.1 ms/clip, vs 215.8 for the
+        materialized-volume XLA path and 195.3 for pallas + unshielded convs.
+        Off-TPU (CPU tests, multichip dryrun) everything resolves to the
+        portable XLA forms. Parameter layout is identical across all
+        resolutions, so checkpoints are backend-portable."""
+        corr, dw, attn = self.corr_impl, self.dw_impl, self.attn_impl
+        if "auto" in (corr, attn):
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+            if corr == "auto":
+                corr = "pallas" if on_tpu else "xla"
+            if attn == "auto":
+                attn = "flash" if on_tpu else "full"
+        if dw == "auto":
+            dw = "xla_cond" if corr == "pallas" else "xla"
+        if (corr, dw, attn) == (self.corr_impl, self.dw_impl, self.attn_impl):
+            return self
+        return dataclasses.replace(self, corr_impl=corr, dw_impl=dw,
+                                   attn_impl=attn)
 
     def for_resolution(self, height: int, width: int) -> "StreamFlowConfig":
         """Pick memory-appropriate kernel implementations for an input size:

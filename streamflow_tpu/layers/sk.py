@@ -108,12 +108,37 @@ class _PadConv(nn.Module):
         return y + b
 
 
+def _dw_shift(x, w, b):
+    """Depthwise kxk conv as k^2 statically-shifted FMA taps — pure XLA
+    elementwise ops, NO convolution HLO. Purpose: a conv-free refinement-loop
+    body for the fused-Pallas-corr path without paying Mosaic's dw-chain
+    plateau (BASELINE.md r2 findings: a Mosaic custom call in the scan body
+    poisons XLA's *conv* layout assignment; elementwise fusions are immune).
+
+    x: (B, H, W, C); w: (k, k, C); b: (C,). Zero 'same' padding.
+    """
+    k = w.shape[0]
+    if k == 1:
+        return x * w[0, 0] + b
+    r = k // 2
+    bdim, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    y = None
+    for dy in range(k):
+        for dx in range(k):
+            tap = jax.lax.slice(
+                xp, (0, dy, dx, 0), (bdim, dy + h, dx + wd, c))
+            t = tap * w[dy, dx]
+            y = t if y is None else y + t
+    return y + b
+
+
 class SKBlock(nn.Module):
     out_dim: int
     k_conv: Sequence[int] = (1, 15)
     dtype: Optional[jnp.dtype] = None
     align: bool = True
-    dw_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    dw_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' | 'shift'
 
     def _pallas_ok(self, x, ks) -> bool:
         if self.dw_impl != "pallas":
@@ -133,6 +158,17 @@ class SKBlock(nn.Module):
         return vmem_estimate(x.shape[1], x.shape[2], ks,
                              x.dtype.itemsize) < 13 * 2 ** 20
 
+    def _ffn_pallas_ok(self, x) -> bool:
+        """The fused FFN-pair kernel (ops/pallas/_ffn_kernel.py) composes
+        with both conv-free dw paths: 'pallas' (dw chain kernel) and
+        'xla_cond' (cond-shielded XLA convs — the shield keeps the Mosaic
+        FFN call from poisoning their layouts)."""
+        if self.dw_impl not in ("pallas", "xla_cond"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return x.ndim == 4 and x.shape[-1] % 128 == 0
+
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
@@ -151,7 +187,7 @@ class SKBlock(nn.Module):
                             depthwise=dw, dtype=self.dtype, name=name)
 
         ks = tuple(self.k_conv)
-        fused = self._pallas_ok(x, ks)
+        fused = self._ffn_pallas_ok(x)
 
         m1 = conv("ffn1_in", c_in, hidden, cp, hp)
         m2 = conv("ffn1_out", hidden, c_in, hp, cp)
@@ -172,6 +208,39 @@ class SKBlock(nn.Module):
             stages = [m(None, collect=True) for m in mods]
             x = dw_chain(x, tuple(w for w, _ in stages),
                          tuple(b for _, b in stages), ks)
+        elif self.dw_impl == "shift":
+            for m in mods:
+                wdw, bdw = m(None, collect=True)
+                x = gelu(x + _dw_shift(x, wdw, bdw))
+        elif self.dw_impl == "xla_cond":
+            # XLA's dw conv emitter, shielded from the Mosaic custom-call
+            # layout disease (BASELINE.md r2 findings) by placing each conv
+            # in a conditional branch: layout assignment lays out called
+            # computations with conv-friendly layouts even when a custom
+            # call shares the surrounding while-body. The predicate is
+            # data-dependent (never constant-foldable) but always true.
+            pred = jnp.isfinite(
+                jax.lax.stop_gradient(jax.lax.slice(
+                    x, (0,) * x.ndim, (1,) * x.ndim)).reshape(())
+            )
+            for m in mods:
+                wdw, bdw = m(None, collect=True)
+
+                def _conv(args):
+                    v, w, b = args
+                    k = w.shape[0]
+                    y = jax.lax.conv_general_dilated(
+                        v, w[:, :, None, :], (1, 1),
+                        [(k // 2, k // 2)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=v.shape[-1],
+                        preferred_element_type=v.dtype,
+                    )
+                    return y + b
+
+                dwc = jax.lax.cond(pred, _conv, lambda a: _conv(a) * 1.0,
+                                   (x, wdw, bdw))
+                x = gelu(x + dwc)
         elif self.dw_impl == "xla_fenced":
             # keep XLA's dw conv but fence it from surrounding fusions: the
             # standalone conv emitter runs ~4x faster than the in-context

@@ -192,7 +192,8 @@ class SKUpdateBlockTAMv3(nn.Module):
             )(net_f))
 
         mh = MaskHead(self.embed_dim, self.ratio,
-                      as_dot=self.dw_impl == "pallas", dtype=self.dtype,
+                      as_dot=self.dw_impl in ("pallas", "shift", "xla_cond"),
+                      dtype=self.dtype,
                       name="mask")
         if compute_mask is None or self.is_initializing():
             mask = mh(net_f)

@@ -125,8 +125,7 @@ class _RefinementStep(nn.Module):
             attn_mode=cfg.attn_impl,
             joint_flow_head=cfg.update_block != "sk_tam_v1",
             temporal_zero_init=cfg.update_block != "sk_tam_v3_noinit",
-            dw_impl=(("pallas" if cfg.corr_impl == "pallas" else "xla")
-                     if cfg.dw_impl == "auto" else cfg.dw_impl),
+            dw_impl=cfg.dw_impl if cfg.dw_impl != "auto" else "xla",
             # no lane-padding under autodiff: the padded depthwise weight
             # grad trips an XLA TPU miscompile (see SKUpdateBlockTAMv3.align)
             align=not self.train,
@@ -162,7 +161,7 @@ class StreamFlow(nn.Module):
     @nn.compact
     def __call__(self, images, iters: Optional[int] = None, flow_init=None,
                  test_mode: bool = False, train: bool = False):
-        cfg = self.cfg
+        cfg = self.cfg.resolve()
         iters = cfg.iters if iters is None else iters
         dtype = jnp.bfloat16 if cfg.mixed_precision else None
         b, t, hh, ww, _ = images.shape

@@ -86,6 +86,36 @@ def test_skblock_dispatch_param_compat():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
+@pytest.mark.parametrize("impl", ["shift", "xla_cond"])
+def test_skblock_alt_dw_matches_xla(impl):
+    """Alternate dw implementations — 'shift' (k^2 statically-shifted FMA
+    taps, conv-HLO-free) and 'xla_cond' (XLA conv shielded inside a lax.cond
+    branch computation; the TPU default next to the Mosaic lookup) — are
+    numerically identical to the plain XLA depthwise conv path, params and
+    grads included."""
+    from streamflow_tpu.layers.sk import SKBlock
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 324)), jnp.float32)
+    m_xla = SKBlock(256, (1, 15), dw_impl="xla")
+    m_shift = SKBlock(256, (1, 15), dw_impl=impl)
+    p = m_xla.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(
+                m_shift.init(jax.random.PRNGKey(0), x)))
+    y_xla = m_xla.apply(p, x)
+    y_shift = m_shift.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_xla),
+                               atol=2e-5, rtol=2e-5)
+
+    g_xla = jax.grad(lambda p: jnp.sum(m_xla.apply(p, x) ** 2))(p)
+    g_shift = jax.grad(lambda p: jnp.sum(m_shift.apply(p, x) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_shift),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
+
+
 def test_conv3x3_as_dot_matches_nn_conv():
     """Conv3x3AsDot (im2col+matmul) is bit-compatible with nn.Conv params
     and numerically equal (MaskHead's conv-free form on the pallas path)."""

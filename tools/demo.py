@@ -73,7 +73,7 @@ def main():
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--T", type=int, default=4)
     p.add_argument("--max_frames", type=int, default=None)
-    p.add_argument("--attn_impl", default="full", choices=["full", "flash"])
+    p.add_argument("--attn_impl", default="auto", choices=["auto", "full", "flash"])
     args = p.parse_args()
 
     import jax

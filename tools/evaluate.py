@@ -26,8 +26,8 @@ def main():
     p.add_argument("--ckpt", default=None, help=".npz params file")
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--T", type=int, default=4)
-    p.add_argument("--attn_impl", default="full", choices=["full", "flash"])
-    p.add_argument("--corr_impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--attn_impl", default="auto", choices=["auto", "full", "flash"])
+    p.add_argument("--corr_impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sintel_root", default="datasets/sintel")
     p.add_argument("--multi_root", default="datasets/multi-kitti")
     p.add_argument("--spring_root", default="datasets/spring")
