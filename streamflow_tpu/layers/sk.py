@@ -214,33 +214,36 @@ class SKBlock(nn.Module):
                 x = gelu(x + _dw_shift(x, wdw, bdw))
         elif self.dw_impl == "xla_cond":
             # XLA's dw conv emitter, shielded from the Mosaic custom-call
-            # layout disease (BASELINE.md r2 findings) by placing each conv
-            # in a conditional branch: layout assignment lays out called
-            # computations with conv-friendly layouts even when a custom
-            # call shares the surrounding while-body. The predicate is
-            # data-dependent (never constant-foldable) but always true.
+            # layout disease (BASELINE.md r2 findings) by placing the whole
+            # dw chain in ONE conditional branch: layout assignment lays out
+            # called computations with conv-friendly layouts even when a
+            # custom call shares the surrounding while-body, and a single
+            # branch boundary per block minimizes the relayout copies the
+            # shield costs. The predicate is data-dependent (never
+            # constant-foldable) but always true. k==1 stages are pure
+            # elementwise — no conv HLO to shield.
             pred = jnp.isfinite(
                 jax.lax.stop_gradient(jax.lax.slice(
                     x, (0,) * x.ndim, (1,) * x.ndim)).reshape(())
             )
-            for m in mods:
-                wdw, bdw = m(None, collect=True)
+            stages = [m(None, collect=True) for m in mods]
 
-                def _conv(args):
-                    v, w, b = args
-                    k = w.shape[0]
-                    y = jax.lax.conv_general_dilated(
-                        v, w[:, :, None, :], (1, 1),
-                        [(k // 2, k // 2)] * 2,
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        feature_group_count=v.shape[-1],
-                        preferred_element_type=v.dtype,
-                    )
-                    return y + b
+            def _chain(v):
+                for (wdw, bdw), kk in zip(stages, ks):
+                    if kk == 1:
+                        y = v * wdw[0, 0] + bdw
+                    else:
+                        y = jax.lax.conv_general_dilated(
+                            v, wdw[:, :, None, :], (1, 1),
+                            [(kk // 2, kk // 2)] * 2,
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            feature_group_count=v.shape[-1],
+                            preferred_element_type=v.dtype,
+                        ) + bdw
+                    v = gelu(v + y)
+                return v
 
-                dwc = jax.lax.cond(pred, _conv, lambda a: _conv(a) * 1.0,
-                                   (x, wdw, bdw))
-                x = gelu(x + dwc)
+            x = jax.lax.cond(pred, _chain, lambda v: _chain(v) * 1.0, x)
         elif self.dw_impl == "xla_fenced":
             # keep XLA's dw conv but fence it from surrounding fusions: the
             # standalone conv emitter runs ~4x faster than the in-context
