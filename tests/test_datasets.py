@@ -224,3 +224,53 @@ def test_bithings_consistent_bidirectional_augmentation(tmp_path):
     assert len(mix) == 2 * len(ds)
     s2 = mix.load(0, np.random.default_rng(5))
     assert "flows_bw" in s2 and "valids_bw" in s2
+
+
+def test_hue_shift_matches_float_hsv_oracle():
+    """Quantify the cv2 180-bin hue shift against an exact float HSV rotation
+    (torchvision ``adjust_hue`` semantics — reference core/utils/augmentor.py
+    uses torchvision ColorJitter). The only deviation is cv2's uint8 H channel
+    (180 bins ~ 2 deg quantization): error must stay at the
+    couple-of-intensity-levels scale, i.e. visually and statistically
+    negligible for augmentation."""
+    from streamflow_tpu.data.augmentor import _adjust_hue
+
+    def hue_oracle(img, shift):
+        x = img.astype(np.float64) / 255.0
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        mx, mn = x.max(-1), x.min(-1)
+        d = mx - mn
+        h = np.zeros_like(mx)
+        m = d > 0
+        rmax = m & (mx == r)
+        gmax = m & (mx == g) & ~rmax
+        bmax = m & (mx == b) & ~rmax & ~gmax
+        h[rmax] = ((g - b)[rmax] / d[rmax]) % 6
+        h[gmax] = (b - r)[gmax] / d[gmax] + 2
+        h[bmax] = (r - g)[bmax] / d[bmax] + 4
+        h = (h / 6 + shift) % 1.0
+        v = mx
+        s = np.where(mx > 0, d / np.maximum(mx, 1e-12), 0)
+        i = np.floor(h * 6)
+        f = h * 6 - i
+        p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+        i = i.astype(int) % 6
+        out = np.zeros_like(x)
+        faces = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v),
+                 (v, p, q)]
+        for k, (rr, gg, bb) in enumerate(faces):
+            mk = i == k
+            out[..., 0][mk] = rr[mk]
+            out[..., 1][mk] = gg[mk]
+            out[..., 2][mk] = bb[mk]
+        return (out * 255.0).astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (128, 128, 3)).astype(np.float32)
+    for shift in (-0.159, -0.05, 0.05, 0.159):  # +-0.5/pi = jitter range
+        ours = _adjust_hue(img, shift)
+        ref = hue_oracle(img, shift)
+        d = np.abs(ours - ref)
+        assert d.mean() < 2.0, (shift, d.mean())
+        assert np.percentile(d, 99) < 12.0, (shift, np.percentile(d, 99))
+        assert d.max() < 30.0, (shift, d.max())
