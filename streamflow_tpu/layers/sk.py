@@ -163,7 +163,8 @@ class SKBlock(nn.Module):
         with both conv-free dw paths: 'pallas' (dw chain kernel) and
         'xla_cond' (cond-shielded XLA convs — the shield keeps the Mosaic
         FFN call from poisoning their layouts)."""
-        if self.dw_impl not in ("pallas", "xla_cond"):
+        if (self.dw_impl != "pallas"
+                and not self.dw_impl.startswith("xla_cond")):
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -212,7 +213,7 @@ class SKBlock(nn.Module):
             for m in mods:
                 wdw, bdw = m(None, collect=True)
                 x = gelu(x + _dw_shift(x, wdw, bdw))
-        elif self.dw_impl == "xla_cond":
+        elif self.dw_impl.startswith("xla_cond"):
             # XLA's dw conv emitter, shielded from the Mosaic custom-call
             # layout disease (BASELINE.md r2 findings) by placing the whole
             # dw chain in ONE conditional branch: layout assignment lays out
@@ -227,19 +228,31 @@ class SKBlock(nn.Module):
                     x, (0,) * x.ndim, (1,) * x.ndim)).reshape(())
             )
             stages = [m(None, collect=True) for m in mods]
+            # '_f32' suffix: accumulate the dw conv in f32 (the v5e VPU does
+            # not pack bf16 FMAs — bf16 accumulation measured at HALF rate);
+            # '_fence' suffix: optimization_barrier around each conv inside
+            # the branch so its emitter compiles standalone (standalone conv
+            # measured up to 4x the in-context fused rate).
+            acc_f32 = self.dw_impl.endswith("_f32")
+            fence = self.dw_impl.endswith("_fence")
 
             def _chain(v):
                 for (wdw, bdw), kk in zip(stages, ks):
                     if kk == 1:
                         y = v * wdw[0, 0] + bdw
                     else:
+                        vin = jax.lax.optimization_barrier(v) if fence else v
                         y = jax.lax.conv_general_dilated(
-                            v, wdw[:, :, None, :], (1, 1),
+                            vin, wdw[:, :, None, :], (1, 1),
                             [(kk // 2, kk // 2)] * 2,
                             dimension_numbers=("NHWC", "HWIO", "NHWC"),
                             feature_group_count=v.shape[-1],
-                            preferred_element_type=v.dtype,
-                        ) + bdw
+                            preferred_element_type=(
+                                jnp.float32 if acc_f32 else v.dtype),
+                        )
+                        if fence:
+                            y = jax.lax.optimization_barrier(y)
+                        y = y.astype(v.dtype) + bdw
                     v = gelu(v + y)
                 return v
 

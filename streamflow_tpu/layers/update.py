@@ -192,7 +192,8 @@ class SKUpdateBlockTAMv3(nn.Module):
             )(net_f))
 
         mh = MaskHead(self.embed_dim, self.ratio,
-                      as_dot=self.dw_impl in ("pallas", "shift", "xla_cond"),
+                      as_dot=self.dw_impl in ("pallas", "shift")
+                      or self.dw_impl.startswith("xla_cond"),
                       dtype=self.dtype,
                       name="mask")
         if compute_mask is None or self.is_initializing():

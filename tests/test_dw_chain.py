@@ -86,11 +86,14 @@ def test_skblock_dispatch_param_compat():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
-@pytest.mark.parametrize("impl", ["shift", "xla_cond"])
+@pytest.mark.parametrize(
+    "impl", ["shift", "xla_cond", "xla_cond_f32", "xla_cond_fence"])
 def test_skblock_alt_dw_matches_xla(impl):
     """Alternate dw implementations — 'shift' (k^2 statically-shifted FMA
-    taps, conv-HLO-free) and 'xla_cond' (XLA conv shielded inside a lax.cond
-    branch computation; the TPU default next to the Mosaic lookup) — are
+    taps, conv-HLO-free), 'xla_cond' (XLA conv shielded inside a lax.cond
+    branch computation; the TPU default next to the Mosaic lookup), and its
+    '_f32' (f32 conv accumulation) / '_fence' (optimization_barrier around
+    each in-branch conv) variants — are
     numerically identical to the plain XLA depthwise conv path, params and
     grads included."""
     from streamflow_tpu.layers.sk import SKBlock
