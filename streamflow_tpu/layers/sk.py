@@ -235,6 +235,22 @@ class SKBlock(nn.Module):
             # measured up to 4x the in-context fused rate).
             acc_f32 = self.dw_impl.endswith("_f32")
             fence = self.dw_impl.endswith("_fence")
+            # '_bfold': fold the batch into one tall image (zero seam rows of
+            # k//2 preserve 'same'-padding semantics) — the conv emitter's
+            # strategy choice depends on the batch/spatial split, and the
+            # B=1 tall form measured ~2x the B=3 form standalone
+            bfold = self.dw_impl.endswith("_bfold")
+
+            def _conv(vin, wdw, kk):
+                y = jax.lax.conv_general_dilated(
+                    vin, wdw[:, :, None, :], (1, 1),
+                    [(kk // 2, kk // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=vin.shape[-1],
+                    preferred_element_type=(
+                        jnp.float32 if acc_f32 else vin.dtype),
+                )
+                return y
 
             def _chain(v):
                 for (wdw, bdw), kk in zip(stages, ks):
@@ -242,14 +258,16 @@ class SKBlock(nn.Module):
                         y = v * wdw[0, 0] + bdw
                     else:
                         vin = jax.lax.optimization_barrier(v) if fence else v
-                        y = jax.lax.conv_general_dilated(
-                            vin, wdw[:, :, None, :], (1, 1),
-                            [(kk // 2, kk // 2)] * 2,
-                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                            feature_group_count=v.shape[-1],
-                            preferred_element_type=(
-                                jnp.float32 if acc_f32 else v.dtype),
-                        )
+                        if bfold and v.shape[0] > 1:
+                            bb, hh, ww, cc = vin.shape
+                            r = kk // 2
+                            vp = jnp.pad(vin, ((0, 0), (r, r), (0, 0),
+                                               (0, 0)))
+                            y = _conv(vp.reshape(1, bb * (hh + 2 * r), ww,
+                                                 cc), wdw, kk)
+                            y = y.reshape(bb, hh + 2 * r, ww, cc)[:, r:r + hh]
+                        else:
+                            y = _conv(vin, wdw, kk)
                         if fence:
                             y = jax.lax.optimization_barrier(y)
                         y = y.astype(v.dtype) + bdw
