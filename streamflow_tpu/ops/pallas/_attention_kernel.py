@@ -119,6 +119,15 @@ def flash_attention_tpu(q, k, v, block_q: int = 512, block_k: int = 2048,
 
     block_q = min(block_q, max(128, nq))
     block_k = min(block_k, max(128, nk))
+    if nk > block_k and nk % block_k:
+        # Padded kv columns are masked but still COMPUTED (16% waste at the
+        # benchmark's nk=7040 with block 2048 -> 8192). Prefer the largest
+        # lane-aligned divisor of nk within [512, block_k]: exact coverage
+        # beats a shorter online-softmax chain.
+        for cand in range(block_k // 128 * 128, 511, -128):
+            if nk % cand == 0:
+                block_k = cand
+                break
 
     def pad_to(x, blk):
         n = x.shape[2]
@@ -260,6 +269,15 @@ def flash_attention_bwd_tpu(q, k, v, do, lse, delta,
     bh = b * h
     block_q = min(block_q, max(128, nq))
     block_k = min(block_k, max(128, nk))
+    if nk > block_k and nk % block_k:
+        # Padded kv columns are masked but still COMPUTED (16% waste at the
+        # benchmark's nk=7040 with block 2048 -> 8192). Prefer the largest
+        # lane-aligned divisor of nk within [512, block_k]: exact coverage
+        # beats a shorter online-softmax chain.
+        for cand in range(block_k // 128 * 128, 511, -128):
+            if nk % cand == 0:
+                block_k = cand
+                break
 
     def pad_to(x, blk):
         n = x.shape[2]

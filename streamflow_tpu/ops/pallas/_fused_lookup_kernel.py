@@ -132,31 +132,26 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
         out_ref[0, :, l * 128:(l + 1) * 128] = out_l.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "out_dtype", "block_q", "interpret"))
-def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
-                      out_dtype=None, block_q: int = 512,
-                      interpret: bool = False):
-    """fmap1 (B,H,W,C); f2_levels: pooled fmap2 pyramid [(B,Hl,Wl,C)];
-    coords (B,H,W,2) level-0 pixel xy. Returns (B,H,W,L*(2r+1)^2), channels
-    level-major then x-major windows (reference layout)."""
+def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512):
+    """Pad the refinement-loop-INVARIANT kernel operands once: f1 row-padded
+    to a whole number of query blocks, every f2 level lane-padded (PAD_L +
+    tile-width right pad + UNROLL-1 zero rows). Calling this at volume-build
+    time keeps ~35 MB/iteration of pad copies out of the scan body (XLA does
+    not hoist pads feeding a custom call out of a while loop — measured as
+    per-call %pad ops in the r3 trace).
+
+    Returns (f1p (B, n_tot, C), f2p tuple, meta tuple of (hl, wl))."""
     b, h, w, c = fmap1.shape
     n = h * w
     r = radius
-    k = 2 * r + 1
-    assert k * (k + 1) <= 128, "window layout exceeds one lane tile"
-    n_levels = len(f2_levels)
-    out_dtype = out_dtype or jnp.float32
-    scale = 1.0 / math.sqrt(c)
-
     f1 = fmap1.reshape(b, n, c)
-    pts = coords.reshape(b, n, 2).astype(jnp.float32)
-
+    block_q = min(block_q, max(128, n))
+    n_pad = (-n) % block_q
+    if n_pad:
+        f1 = jnp.pad(f1, ((0, 0), (0, n_pad), (0, 0)))
     meta = []
     f2p = []
-    idx_cols, frac_cols = [], []
-    for l, f2 in enumerate(f2_levels):
+    for f2 in f2_levels:
         hl, wl = f2.shape[1], f2.shape[2]
         meta.append((hl, wl))
         wp = _wp_of(wl, r)
@@ -164,6 +159,44 @@ def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
         # the unrolled slab slice never clamps
         f2p.append(jnp.pad(
             f2, ((0, 0), (0, UNROLL - 1), (PAD_L, wp - PAD_L - wl), (0, 0))))
+    return f1, tuple(f2p), tuple(meta)
+
+
+def unprepare_inputs(f1p, f2p, meta, h, w):
+    """Slice the original (fmap1, f2_levels) back out of prepared operands
+    (used by the recompute backward and the off-TPU fallback)."""
+    b, _, c = f1p.shape
+    fmap1 = f1p[:, : h * w].reshape(b, h, w, c)
+    f2_levels = tuple(
+        lvl[:, :hl, PAD_L:PAD_L + wl]
+        for lvl, (hl, wl) in zip(f2p, meta))
+    return fmap1, f2_levels
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "radius", "out_dtype", "block_q", "interpret"))
+def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
+                               out_dtype=None, block_q: int = 512,
+                               interpret: bool = False):
+    """Lookup against operands pre-padded by :func:`prepare_inputs` — the
+    per-iteration work is only the (B, N, 2L) index/frac computation plus the
+    kernel itself. coords (B,H,W,2) level-0 pixel xy. Returns
+    (B,H,W,L*(2r+1)^2), channels level-major then x-major windows (reference
+    layout)."""
+    b, h, w, _ = coords.shape
+    c = f1p.shape[-1]
+    n = h * w
+    r = radius
+    k = 2 * r + 1
+    assert k * (k + 1) <= 128, "window layout exceeds one lane tile"
+    n_levels = len(f2p)
+    out_dtype = out_dtype or jnp.float32
+    scale = 1.0 / math.sqrt(c)
+
+    pts = coords.reshape(b, n, 2).astype(jnp.float32)
+    idx_cols, frac_cols = [], []
+    for l, (hl, wl) in enumerate(meta):
         ctr = pts / (2.0 ** l)
         # clamps keep the padded window origin s in [0, wp-2r-11] while
         # fully-out-of-range windows read only zero padding
@@ -176,15 +209,16 @@ def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
     idx = jnp.stack(idx_cols, axis=-1)    # (B, N, 2L)
     frac = jnp.stack(frac_cols, axis=-1)  # (B, N, 2L)
 
+    n_tot = f1p.shape[1]
     block_q = min(block_q, max(128, n))
-    n_pad = (-n) % block_q
-    if n_pad:
-        f1 = jnp.pad(f1, ((0, 0), (0, n_pad), (0, 0)))
+    assert n_tot % block_q == 0, (
+        f"prepared f1 rows {n_tot} not a multiple of block_q {block_q}")
+    if n_tot != n:
         # padded queries: clamped all-out-of-range windows -> zeros
-        idx = jnp.pad(idx, ((0, 0), (0, n_pad), (0, 0)),
+        idx = jnp.pad(idx, ((0, 0), (0, n_tot - n), (0, 0)),
                       constant_values=-(r + 3))
-        frac = jnp.pad(frac, ((0, 0), (0, n_pad), (0, 0)))
-    n_tot = n + n_pad
+        frac = jnp.pad(frac, ((0, 0), (0, n_tot - n), (0, 0)))
+    f1 = f1p
 
     grid = (b, n_tot // block_q)
     out = pl.pallas_call(
@@ -218,6 +252,22 @@ def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
 
     out = out[:, :n].reshape(b, h, w, n_levels, 128)[..., :k * k]
     return out.reshape(b, h, w, n_levels * k * k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "out_dtype", "block_q", "interpret"))
+def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
+                      out_dtype=None, block_q: int = 512,
+                      interpret: bool = False):
+    """One-shot convenience wrapper: prepare + lookup in one call (pads the
+    invariant operands every time — inside a refinement loop use
+    :func:`prepare_inputs` once and :func:`fused_corr_lookup_prepared` per
+    iteration instead)."""
+    f1p, f2p, meta = prepare_inputs(fmap1, f2_levels, radius, block_q)
+    return fused_corr_lookup_prepared(
+        f1p, f2p, coords, meta, radius=radius, out_dtype=out_dtype,
+        block_q=block_q, interpret=interpret)
 
 
 def pool_pyramid(fmap2, num_levels: int = 4):

@@ -10,6 +10,11 @@ SURVEY §5.7) and beats reading a materialized volume at benchmark
 resolution: the recompute is a dense MXU matmul (~0.4 ms/iteration at
 440x1024) while the saved volume traffic is ~400 MB/iteration.
 
+The stored operands are PRE-PADDED to the kernel's layout
+(``prepare_inputs``) at build time: XLA does not hoist pad ops feeding a
+custom call out of a while loop, so padding per lookup would re-copy ~35
+MB/iteration of loop-invariant data inside the scan body (r3 trace finding).
+
 Falls back to the XLA composite off-TPU (the kernel itself is exercised on
 CPU in tests via the Pallas interpreter). Differentiable via custom_vjp: the
 backward recomputes through the XLA composite (training-only cost).
@@ -46,35 +51,47 @@ def _xla_equiv(fmap1, f2_levels, coords, radius: int):
                        w=w).lookup(coords)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_lookup(fmap1, f2_levels, coords, radius, out_dtype):
+def _xla_equiv_prepared(f1p, f2p, coords, meta, radius):
+    from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
+        unprepare_inputs,
+    )
+
+    h, w = coords.shape[1], coords.shape[2]
+    fmap1, f2_levels = unprepare_inputs(f1p, f2p, meta, h, w)
+    return _xla_equiv(fmap1, f2_levels, coords, radius)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype):
+    """Lookup on prepare_inputs-padded operands (differentiable)."""
     if jax.default_backend() == "tpu":
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
-            fused_corr_lookup,
+            fused_corr_lookup_prepared,
         )
 
         # Fence the Mosaic custom-call's operands: its mandatory default
         # layouts otherwise leak into XLA's global layout assignment and
         # deoptimize unrelated convolutions in the surrounding scan body.
-        fmap1, f2_levels, coords = jax.lax.optimization_barrier(
-            (fmap1, tuple(f2_levels), coords))
-        return fused_corr_lookup(fmap1, tuple(f2_levels), coords,
-                                 radius=radius, out_dtype=out_dtype)
-    out = _xla_equiv(fmap1, f2_levels, coords, radius)
+        f1p, f2p, coords = jax.lax.optimization_barrier(
+            (f1p, tuple(f2p), coords))
+        return fused_corr_lookup_prepared(f1p, tuple(f2p), coords, meta,
+                                          radius=radius, out_dtype=out_dtype)
+    out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def _fused_fwd(fmap1, f2_levels, coords, radius, out_dtype):
-    return _fused_lookup(fmap1, f2_levels, coords, radius, out_dtype), (
-        fmap1, f2_levels, coords)
+def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype):
+    return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype), (
+        f1p, f2p, coords)
 
 
-def _fused_bwd(radius, out_dtype, res, g):
+def _fused_bwd(meta, radius, out_dtype, res, g):
     import jax.numpy as jnp
 
-    fmap1, f2_levels, coords = res
-    _, vjp = jax.vjp(lambda a, b, c: _xla_equiv(a, b, c, radius),
-                     fmap1, f2_levels, coords)
+    f1p, f2p, coords = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _xla_equiv_prepared(a, b, c, meta, radius),
+        f1p, f2p, coords)
     return vjp(g.astype(jnp.float32))
 
 
@@ -83,23 +100,25 @@ _fused_lookup.defvjp(_fused_fwd, _fused_bwd)
 
 @flax.struct.dataclass
 class PallasCorr:
-    fmap1: jax.Array        # (B, H, W, C), encoder dtype (bf16 under AMP)
-    f2_levels: tuple        # pooled fmap2 levels, (B, Hl, Wl, C)
+    f1p: jax.Array          # (B, n_tot, C) block-padded fmap1 rows
+    f2p: tuple              # prepared pyramid levels, (B, Hl+U-1, Wp, C)
+    meta: tuple = flax.struct.field(pytree_node=False)  # ((Hl, Wl), ...)
     radius: int = flax.struct.field(pytree_node=False)
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4):
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
             pool_pyramid,
+            prepare_inputs,
         )
 
-        return cls(fmap1=fmap1,
-                   f2_levels=tuple(pool_pyramid(fmap2, num_levels)),
-                   radius=radius)
+        f1p, f2p, meta = prepare_inputs(
+            fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius)
+        return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius)
 
     def lookup(self, coords, out_dtype=None):
-        out = _fused_lookup(self.fmap1, self.f2_levels, coords, self.radius,
-                            out_dtype)
+        out = _fused_lookup(self.f1p, self.f2p, coords, self.meta,
+                            self.radius, out_dtype)
         # The Mosaic custom-call pins default layouts on its operands and
         # results; without a barrier XLA propagates that layout pressure
         # through the scan body and drops the spatially-tiled convolution
