@@ -148,3 +148,35 @@ def test_fused_lookup_wide_level():
                             interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_prepare_unprepare_roundtrip():
+    """prepare_inputs pads the loop-invariant operands (block-padded f1 rows,
+    PAD_L/tile/UNROLL-padded f2 levels); unprepare_inputs must slice the
+    originals back out exactly, and the prepared lookup must equal the
+    one-shot wrapper."""
+    from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
+        fused_corr_lookup,
+        fused_corr_lookup_prepared,
+        pool_pyramid,
+        prepare_inputs,
+        unprepare_inputs,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 12, 20, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    levels = tuple(pool_pyramid(f2, 4))
+    f1p, f2p, meta = prepare_inputs(f1, levels, radius=4)
+    f1r, levels_r = unprepare_inputs(f1p, f2p, meta, H, W)
+    np.testing.assert_array_equal(np.asarray(f1r), np.asarray(f1))
+    for a, b in zip(levels_r, levels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-2, 2, (B, H, W, 2)), jnp.float32)
+    out1 = fused_corr_lookup(f1, levels, coords, radius=4, interpret=True)
+    out2 = fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius=4,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
