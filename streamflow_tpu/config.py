@@ -85,6 +85,11 @@ class StreamFlowConfig:
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0
+    # Locally-grouped (windowed) attention inside the Twins encoder:
+    # "pallas" fuses window partition + qkv + softmax + proj into one
+    # VMEM-resident kernel (ops/pallas/_lga_kernel.py); "xla" is the
+    # reshape/transpose composite. "auto" resolves per backend.
+    lga_impl: str = "auto"
 
     dropout: float = 0.0
 
@@ -128,8 +133,9 @@ class StreamFlowConfig:
         Off-TPU (CPU tests, multichip dryrun) everything resolves to the
         portable XLA forms. Parameter layout is identical across all
         resolutions, so checkpoints are backend-portable."""
-        corr, dw, attn = self.corr_impl, self.dw_impl, self.attn_impl
-        if "auto" in (corr, attn):
+        corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
+                               self.lga_impl)
+        if "auto" in (corr, attn, lga):
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
@@ -137,12 +143,15 @@ class StreamFlowConfig:
                 corr = "pallas" if on_tpu else "xla"
             if attn == "auto":
                 attn = "flash" if on_tpu else "full"
+            if lga == "auto":
+                lga = "xla"
         if dw == "auto":
             dw = "xla_cond" if corr == "pallas" else "xla"
-        if (corr, dw, attn) == (self.corr_impl, self.dw_impl, self.attn_impl):
+        if (corr, dw, attn, lga) == (self.corr_impl, self.dw_impl,
+                                     self.attn_impl, self.lga_impl):
             return self
         return dataclasses.replace(self, corr_impl=corr, dw_impl=dw,
-                                   attn_impl=attn)
+                                   attn_impl=attn, lga_impl=lga)
 
     def for_resolution(self, height: int, width: int) -> "StreamFlowConfig":
         """Pick memory-appropriate kernel implementations for an input size:

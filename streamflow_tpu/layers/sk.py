@@ -240,6 +240,14 @@ class SKBlock(nn.Module):
             # strategy choice depends on the batch/spatial split, and the
             # B=1 tall form measured ~2x the B=3 form standalone
             bfold = self.dw_impl.endswith("_bfold")
+            # '_cfold': fold the batch into the CHANNEL axis instead —
+            # depthwise channels are fully independent, so
+            # (B,H,W,C) with weights w == (1,H,W,B*C) with w tiled B times,
+            # exactly (no seams, no extra rows, unlike '_bfold'). Costs one
+            # transpose at chain entry/exit; buys the emitter a B=1 image
+            # (immune to batch-in-sublane poisoned layouts) with B*x more
+            # lane tiles per spatial position.
+            cfold = self.dw_impl.endswith("_cfold")
 
             def _conv(vin, wdw, kk):
                 y = jax.lax.conv_general_dilated(
@@ -253,7 +261,15 @@ class SKBlock(nn.Module):
                 return y
 
             def _chain(v):
+                nb = v.shape[0]
+                folded = cfold and nb > 1
+                if folded:
+                    hh, ww, cc = v.shape[1:]
+                    v = v.transpose(1, 2, 0, 3).reshape(1, hh, ww, nb * cc)
                 for (wdw, bdw), kk in zip(stages, ks):
+                    if folded:
+                        wdw = jnp.tile(wdw, (1, 1, nb))
+                        bdw = jnp.tile(bdw, nb)
                     if kk == 1:
                         y = v * wdw[0, 0] + bdw
                     else:
@@ -272,6 +288,8 @@ class SKBlock(nn.Module):
                             y = jax.lax.optimization_barrier(y)
                         y = y.astype(v.dtype) + bdw
                     v = gelu(v + y)
+                if folded:
+                    v = v.reshape(hh, ww, nb, cc).transpose(2, 0, 1, 3)
                 return v
 
             x = jax.lax.cond(pred, _chain, lambda v: _chain(v) * 1.0, x)
@@ -287,17 +305,20 @@ class SKBlock(nn.Module):
             for m in mods:
                 x = gelu(x + m(x))
 
-        x = gelu(x + conv("pw", c_in, c_in, cp, cp)(x))
-
+        mpw = conv("pw", c_in, c_in, cp, cp)
         m3 = conv("ffn2_in", c_in, hidden, cp, hp)
         m4 = conv("ffn2_out", hidden, self.out_dim, hp, op)
         if fused:
-            from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
+            # pw pointwise-residual stage fused ahead of the second FFN
+            # pair: one kernel, one HBM round trip fewer per block.
+            from streamflow_tpu.ops.pallas._ffn_kernel import pw_ffn_pair
 
+            wp, bp = mpw(None, collect=True)
             w3, b3 = m3(None, collect=True)
             w4, b4 = m4(None, collect=True)
-            x = ffn_pair(x, w3, b3, w4, b4, False)
+            x = pw_ffn_pair(x, wp, bp, w3, b3, w4, b4, False)
         else:
+            x = gelu(x + mpw(x))
             h = gelu(m3(x))
             x = m4(h)
         if op != self.out_dim:

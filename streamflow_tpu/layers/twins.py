@@ -24,6 +24,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -75,13 +76,97 @@ class PosConv(nn.Module):
         return out.reshape(b, n, c)
 
 
+def lga_xla(x, wqkv, bqkv, wproj, bproj, *, ws: int, nh: int):
+    """Windowed MHA on the padded grid — the exact XLA composite the Pallas
+    kernel (ops/pallas/_lga_kernel.py) fuses. x: (B, Hp, Wp, C) with Hp, Wp
+    window multiples; weights in nn.Dense layout."""
+    b, hp, wp, c = x.shape
+    dt = x.dtype
+    hd = c // nh
+    gh, gw = hp // ws, wp // ws
+
+    xw = x.reshape(b, gh, ws, gw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(b, gh * gw, ws * ws, c)
+
+    qkv = jax.lax.dot_general(
+        xw, wqkv.astype(dt), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bqkv.astype(dt)
+    qkv = qkv.reshape(b, gh * gw, ws * ws, 3, nh, hd)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    # (B, G, S, nh, hd) -> (B, G, nh, S, hd)
+    q = q.transpose(0, 1, 3, 2, 4) * jnp.asarray(hd ** -0.5, dt)
+    k = k.transpose(0, 1, 3, 2, 4)
+    v = v.transpose(0, 1, 3, 2, 4)
+    attn = jnp.einsum("bgnsd,bgntd->bgnst", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bgnst,bgntd->bgnsd", attn, v)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, gh, gw, ws, ws, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    out = jax.lax.dot_general(
+        out, wproj.astype(dt), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bproj.astype(dt)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _lga_fused(x, wqkv, bqkv, wproj, bproj, ws, nh):
+    """Fused Pallas forward; backward recomputes through lga_xla."""
+    from streamflow_tpu.ops.pallas._lga_kernel import lga_attention
+
+    return lga_attention(x, wqkv, bqkv, wproj, bproj, ws=ws, nh=nh)
+
+
+def _lga_fwd(x, wqkv, bqkv, wproj, bproj, ws, nh):
+    return (_lga_fused(x, wqkv, bqkv, wproj, bproj, ws, nh),
+            (x, wqkv, bqkv, wproj, bproj))
+
+
+def _lga_bwd(ws, nh, res, g):
+    _, vjp = jax.vjp(lambda *a: lga_xla(*a, ws=ws, nh=nh), *res)
+    return vjp(g)
+
+
+_lga_fused.defvjp(_lga_fwd, _lga_bwd)
+
+
+class _Dense(nn.Module):
+    """nn.Dense-compatible params (kernel (in, out), bias) with a ``collect``
+    mode returning the (dtype-cast) weights instead of applying — for handing
+    them to a fused kernel."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, in_dim: Optional[int] = None, collect: bool = False):
+        d = in_dim if x is None else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
+        if collect:
+            return kernel.astype(dt), bias.astype(dt)
+        x = x.astype(dt)
+        y = jax.lax.dot_general(x, kernel.astype(dt),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y.astype(dt) + bias.astype(dt)
+
+
 class LocallyGroupedAttn(nn.Module):
     """Windowed MHA over non-overlapping ws x ws groups (timm
-    LocallyGroupedAttn). Zero-pads the grid to window multiples."""
+    LocallyGroupedAttn). Zero-pads the grid to window multiples.
+
+    ``impl='pallas'`` runs the fused kernel (window partition + qkv +
+    softmax + proj in one VMEM pass, ops/pallas/_lga_kernel.py); 'xla' is
+    the composite. Parameters are identical either way."""
 
     dim: int
     num_heads: int
     ws: int = 7
+    impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,33 +175,23 @@ class LocallyGroupedAttn(nn.Module):
         ht, w = size
         ws = self.ws
         nh = self.num_heads
-        hd = c // nh
-        x = x.reshape(b, ht, w, c)
+        qkv = _Dense(3 * c, dtype=self.dtype, name="qkv")
+        proj = _Dense(c, dtype=self.dtype, name="proj")
+        wqkv, bqkv = qkv(None, in_dim=c, collect=True)
+        wproj, bproj = proj(None, in_dim=c, collect=True)
+
+        xg = x.reshape(b, ht, w, c)
         pad_b = (ws - ht % ws) % ws
         pad_r = (ws - w % ws) % ws
-        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        hp, wp = ht + pad_b, w + pad_r
-        gh, gw = hp // ws, wp // ws
+        xg = jnp.pad(xg, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
 
-        x = x.reshape(b, gh, ws, gw, ws, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, gh * gw, ws * ws, c)
-
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, gh * gw, ws * ws, 3, nh, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # (B, G, S, nh, hd) -> (B, G, nh, S, hd)
-        q = q.transpose(0, 1, 3, 2, 4) * (hd ** -0.5)
-        k = k.transpose(0, 1, 3, 2, 4)
-        v = v.transpose(0, 1, 3, 2, 4)
-        attn = jnp.einsum("bgnsd,bgntd->bgnst", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bgnst,bgntd->bgnsd", attn, v)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, gh, gw, ws, ws, c)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
-        out = out[:, :ht, :w]
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, n, c))
-        return out
+        use_pallas = (self.impl == "pallas"
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            out = _lga_fused(xg, wqkv, bqkv, wproj, bproj, ws, nh)
+        else:
+            out = lga_xla(xg, wqkv, bqkv, wproj, bproj, ws=ws, nh=nh)
+        return out[:, :ht, :w].reshape(b, n, c)
 
 
 class GlobalSubSampleAttn(nn.Module):
@@ -192,6 +267,7 @@ class TwinsBlock(nn.Module):
     sr_ratio: int = 1
     ws: Optional[int] = None
     chunk: int = 0
+    lga_impl: str = "xla"
     temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
 
@@ -224,7 +300,8 @@ class TwinsBlock(nn.Module):
                 dtype=self.dtype, name="attn")
         else:
             attn = LocallyGroupedAttn(
-                self.dim, self.num_heads, self.ws, dtype=self.dtype, name="attn")
+                self.dim, self.num_heads, self.ws, impl=self.lga_impl,
+                dtype=self.dtype, name="attn")
         x = x + attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), size)
 
         mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
@@ -264,6 +341,7 @@ class _TwinsStages(nn.Module):
 
     temporal: bool = True
     chunk: int = 0
+    lga_impl: str = "xla"
     block_temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
     cfg: dict = None
@@ -287,7 +365,7 @@ class _TwinsStages(nn.Module):
                 x = TwinsBlock(
                     dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
                     cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
-                    temporal=self.block_temporal,
+                    lga_impl=self.lga_impl, temporal=self.block_temporal,
                     dtype=self.dtype, name=f"stage{i}_block{j}",
                 )(x, size, t=t_blocks)
                 if j == 0:
@@ -310,11 +388,13 @@ class TwinsCSC(nn.Module):
     """
 
     chunk: int = 0
+    lga_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=True, chunk=self.chunk, dtype=self.dtype,
+        return _TwinsStages(temporal=True, chunk=self.chunk,
+                            lga_impl=self.lga_impl, dtype=self.dtype,
                             name="stages")(x)
 
 
@@ -323,11 +403,13 @@ class Twins(nn.Module):
     core/encoders/twins.py:15-52): no temporal mixing."""
 
     chunk: int = 0
+    lga_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=False, chunk=self.chunk, dtype=self.dtype,
+        return _TwinsStages(temporal=False, chunk=self.chunk,
+                            lga_impl=self.lga_impl, dtype=self.dtype,
                             name="stages")(x)
 
 
@@ -336,11 +418,13 @@ class Twins1DConv(nn.Module):
     branch (reference core/encoders/twins_1dconv.py:50-120)."""
 
     chunk: int = 0
+    lga_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
+                            lga_impl=self.lga_impl,
                             block_temporal="1dconv", dtype=self.dtype,
                             name="stages")(x)
 
@@ -350,11 +434,13 @@ class TwinsTemporalAttention(nn.Module):
     spatial attention (reference core/encoders/twins_temporal_attention.py)."""
 
     chunk: int = 0
+    lga_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
+                            lga_impl=self.lga_impl,
                             block_temporal="attn", dtype=self.dtype,
                             name="stages")(x)
 
@@ -364,11 +450,13 @@ class Twins3DConv(nn.Module):
     the end (reference core/encoders/twins_3dconv.py:16-70)."""
 
     chunk: int = 0
+    lga_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        y = _TwinsStages(temporal=False, chunk=self.chunk, dtype=self.dtype,
+        y = _TwinsStages(temporal=False, chunk=self.chunk,
+                         lga_impl=self.lga_impl, dtype=self.dtype,
                          name="stages")(x)
 
         def dirac(key, shape, dtype=jnp.float32):

@@ -55,8 +55,9 @@ _TWINS_VARIANTS = {
 def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
                   train: bool = False):
     if cfg.encoder in _TWINS_VARIANTS:
-        return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk, dtype=dtype,
-                                            name=name)
+        return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk,
+                                            lga_impl=cfg.lga_impl,
+                                            dtype=dtype, name=name)
     if cfg.encoder == "umt":
         from streamflow_tpu.layers.umt import UMT
 

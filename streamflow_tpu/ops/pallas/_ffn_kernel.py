@@ -33,9 +33,15 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf_f32(x * (1.0 / math.sqrt(2.0))))
 
 
-def ffn_pair_xla(x, w1, b1, w2, b2, residual=True):
+def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None):
     """Reference XLA composite (exact math of the kernel)."""
     dt = x.dtype
+    if wp is not None:
+        p = jax.lax.dot_general(
+            x, wp.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x = _gelu(x.astype(jnp.float32) + p
+                  + bp.astype(jnp.float32)).astype(dt)
     h = jax.lax.dot_general(x, w1.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = _gelu(h + b1.astype(jnp.float32)).astype(dt)
@@ -63,11 +69,37 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, residual):
+    """Pointwise-residual pre-stage fused ahead of the FFN pair:
+    x' = gelu(x + x @ Wp + bp), then the pair on x'. Saves the HBM round
+    trip of x' between the SK block's pw conv and its second FFN."""
+    x = x_ref[...]
+    dt = x.dtype
+    p = jax.lax.dot_general(
+        x, wp_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x = _gelu(x.astype(jnp.float32) + p
+              + bp_ref[...].astype(jnp.float32)).astype(dt)
+    h = jax.lax.dot_general(
+        x, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = _gelu(h + b1_ref[...].astype(jnp.float32)).astype(dt)
+    y = jax.lax.dot_general(
+        h, w2_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32)
+    if residual:
+        y = _gelu(x.astype(jnp.float32) + y)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("residual", "block_n", "interpret"))
-def _ffn_pair_fwd(x, w1, b1, w2, b2, residual=True, block_n: int = 1024,
-                  interpret: bool = False):
-    """x: (..., C); w1 (C, Ch); w2 (Ch, Co). residual requires Co == C."""
+def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, residual=True,
+                  block_n: int = 1024, interpret: bool = False):
+    """x: (..., C); w1 (C, Ch); w2 (Ch, Co); optional pw pre-stage wp (C, C).
+    residual requires Co == C."""
     orig_shape = x.shape
     c = x.shape[-1]
     ch = w1.shape[1]
@@ -80,12 +112,25 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, residual=True, block_n: int = 1024,
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     nt = n + pad
 
+    if wp is None:
+        kern = functools.partial(_kernel, residual=residual)
+        extra = []
+        extra_specs = []
+    else:
+        kern = functools.partial(_kernel_pw, residual=residual)
+        extra = [wp, bp.reshape(1, c)]
+        extra_specs = [
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, residual=residual),
+        kern,
         out_shape=jax.ShapeDtypeStruct((nt, co), x.dtype),
         grid=(nt // block_n,),
-        in_specs=[
-            pl.BlockSpec((block_n, c), lambda i: (i, 0)),
+        in_specs=[pl.BlockSpec((block_n, c), lambda i: (i, 0))]
+        + extra_specs
+        + [
             pl.BlockSpec((c, ch), lambda i: (0, 0)),
             pl.BlockSpec((1, ch), lambda i: (0, 0)),
             pl.BlockSpec((ch, co), lambda i: (0, 0)),
@@ -97,7 +142,7 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, residual=True, block_n: int = 1024,
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(x2, w1, b1.reshape(1, ch), w2, b2.reshape(1, co))
+    )(x2, *extra, w1, b1.reshape(1, ch), w2, b2.reshape(1, co))
     return out[:n].reshape(*orig_shape[:-1], co)
 
 
@@ -119,3 +164,28 @@ def _bwd(residual, res, g):
 
 
 ffn_pair.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual=True):
+    """gelu(x + x@Wp + bp) pointwise-residual stage fused ahead of the FFN
+    pair (the SK block's pw conv + second FFN in one kernel); backward
+    recomputes through the XLA composite."""
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, residual=residual)
+
+
+def _pw_fwd(x, wp, bp, w1, b1, w2, b2, residual):
+    return (pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual),
+            (x, wp, bp, w1, b1, w2, b2))
+
+
+def _pw_bwd(residual, res, g):
+    x, wp, bp, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda xx, pp, pb, *a: ffn_pair_xla(
+            xx, *a, residual=residual, wp=pp, bp=pb),
+        x, wp, bp, w1, b1, w2, b2)
+    return vjp(g)
+
+
+pw_ffn_pair.defvjp(_pw_fwd, _pw_bwd)

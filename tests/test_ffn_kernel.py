@@ -1,0 +1,84 @@
+"""Fused FFN-pair Pallas kernels (ops/pallas/_ffn_kernel.py): parity vs the
+XLA composite in interpret mode on CPU, and the custom_vjp gradient path —
+including the pw-residual pre-stage variant (pw_ffn_pair) the SK block's
+fused path uses for its pointwise conv + second FFN."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamflow_tpu.ops.pallas import _ffn_kernel as K
+
+
+def _weights(rng, c, ch, co, dtype=jnp.float32):
+    return (
+        jnp.asarray(0.3 * rng.standard_normal((c, ch)), dtype),
+        jnp.asarray(0.1 * rng.standard_normal((ch,)), dtype),
+        jnp.asarray(0.3 * rng.standard_normal((ch, co)), dtype),
+        jnp.asarray(0.1 * rng.standard_normal((co,)), dtype),
+    )
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_ffn_pair_matches_xla(residual):
+    rng = np.random.default_rng(0)
+    c, ch = 128, 192
+    co = c if residual else 256
+    x = jnp.asarray(rng.standard_normal((2, 6, 40, c)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng, c, ch, co)
+    ref = K.ffn_pair_xla(x, w1, b1, w2, b2, residual=residual)
+    out = K._ffn_pair_fwd(x, w1, b1, w2, b2, residual=residual,
+                          block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=5e-5)
+
+
+def test_pw_ffn_pair_matches_xla():
+    rng = np.random.default_rng(1)
+    c, ch, co = 128, 192, 256
+    x = jnp.asarray(rng.standard_normal((1, 9, 40, c)), jnp.float32)
+    wp = jnp.asarray(0.3 * rng.standard_normal((c, c)), jnp.float32)
+    bp = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng, c, ch, co)
+    ref = K.ffn_pair_xla(x, w1, b1, w2, b2, residual=False, wp=wp, bp=bp)
+    out = K._ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, residual=False,
+                          block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=5e-5)
+
+
+def test_pw_ffn_pair_grad_matches_xla(monkeypatch):
+    """jax.grad through the REAL pw_ffn_pair custom_vjp (forward in interpret
+    mode) matches autodiff of the XLA composite."""
+    monkeypatch.setattr(
+        K, "_ffn_pair_fwd",
+        functools.partial(K._ffn_pair_fwd, block_n=256, interpret=True))
+
+    rng = np.random.default_rng(2)
+    c, ch, co = 128, 192, 128
+    x = jnp.asarray(rng.standard_normal((1, 4, 32, c)), jnp.float32)
+    wp = jnp.asarray(0.3 * rng.standard_normal((c, c)), jnp.float32)
+    bp = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng, c, ch, co)
+
+    def f_ref(*a):
+        return jnp.sum(
+            K.ffn_pair_xla(a[0], *a[3:], residual=True, wp=a[1], bp=a[2])
+            ** 2)
+
+    def f_kernel(*a):
+        return jnp.sum(K.pw_ffn_pair(*a, residual=True) ** 2)
+
+    args = (x, wp, bp, w1, b1, w2, b2)
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=tuple(range(7)))(*args)
+    v_k, g_k = jax.value_and_grad(f_kernel, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_ref)):
+        # fp32 accumulation order differs between the kernel forward and the
+        # composite; gradients are O(1e3) here so rtol dominates
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=5e-3)
