@@ -248,6 +248,10 @@ class SKBlock(nn.Module):
             # (immune to batch-in-sublane poisoned layouts) with B*x more
             # lane tiles per spatial position.
             cfold = self.dw_impl.endswith("_cfold")
+            # '_cfoldo': same channel fold, but performed OUTSIDE the cond so
+            # the branch-boundary tensor (and its relayout copies) is the
+            # folded B=1 form on both sides.
+            cfoldo = self.dw_impl.endswith("_cfoldo")
 
             def _conv(vin, wdw, kk):
                 y = jax.lax.conv_general_dilated(
@@ -260,16 +264,18 @@ class SKBlock(nn.Module):
                 )
                 return y
 
-            def _chain(v):
+            def _chain(v, fold_inside=True):
                 nb = v.shape[0]
-                folded = cfold and nb > 1
+                folded = cfold and fold_inside and nb > 1
                 if folded:
                     hh, ww, cc = v.shape[1:]
                     v = v.transpose(1, 2, 0, 3).reshape(1, hh, ww, nb * cc)
+                ntile = nb if folded else (
+                    v.shape[-1] // stages[0][0].shape[-1])
                 for (wdw, bdw), kk in zip(stages, ks):
-                    if folded:
-                        wdw = jnp.tile(wdw, (1, 1, nb))
-                        bdw = jnp.tile(bdw, nb)
+                    if ntile > 1:
+                        wdw = jnp.tile(wdw, (1, 1, ntile))
+                        bdw = jnp.tile(bdw, ntile)
                     if kk == 1:
                         y = v * wdw[0, 0] + bdw
                     else:
@@ -292,7 +298,15 @@ class SKBlock(nn.Module):
                     v = v.reshape(hh, ww, nb, cc).transpose(2, 0, 1, 3)
                 return v
 
-            x = jax.lax.cond(pred, _chain, lambda v: _chain(v) * 1.0, x)
+            if cfoldo and x.shape[0] > 1:
+                nb0, hh0, ww0, cc0 = x.shape
+                xf = x.transpose(1, 2, 0, 3).reshape(1, hh0, ww0, nb0 * cc0)
+                xf = jax.lax.cond(
+                    pred, lambda v: _chain(v, False),
+                    lambda v: _chain(v, False) * 1.0, xf)
+                x = xf.reshape(hh0, ww0, nb0, cc0).transpose(2, 0, 1, 3)
+            else:
+                x = jax.lax.cond(pred, _chain, lambda v: _chain(v) * 1.0, x)
         elif self.dw_impl == "xla_fenced":
             # keep XLA's dw conv but fence it from surrounding fusions: the
             # standalone conv emitter runs ~4x faster than the in-context
