@@ -17,15 +17,58 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+class CollectableDense(nn.Module):
+    """nn.Dense-compatible params (kernel (in, out), bias) with a ``collect``
+    mode that returns the (dtype-cast) weights instead of applying — for
+    handing them to a fused Pallas kernel."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, in_dim: Optional[int] = None, collect: bool = False):
+        d = in_dim if x is None else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
+        if collect:
+            return kernel.astype(dt), bias.astype(dt)
+        x = x.astype(dt)
+        y = jax.lax.dot_general(x, kernel.astype(dt),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y.astype(dt) + bias.astype(dt)
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: Linear -> GELU -> Linear (timm Mlp semantics)."""
+    """Transformer MLP: Linear -> GELU -> Linear (timm Mlp semantics).
+
+    ``fused=True`` on TPU runs the pair as ONE Pallas kernel
+    (ops/pallas/_ffn_kernel.py, residual=False): the 4x-wide hidden
+    activation never round-trips HBM. Exact same math (erf gelu, f32 MXU
+    accumulation); parameters identical."""
 
     hidden: int
     out: int
+    fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.fused and jax.default_backend() == "tpu":
+            from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
+
+            c = x.shape[-1]
+            w1, b1 = CollectableDense(self.hidden, dtype=self.dtype,
+                                      name="fc1")(None, in_dim=c,
+                                                  collect=True)
+            w2, b2 = CollectableDense(self.out, dtype=self.dtype,
+                                      name="fc2")(None, in_dim=self.hidden,
+                                                  collect=True)
+            dt = self.dtype or x.dtype
+            return ffn_pair(x.astype(dt), w1, b1, w2, b2, False)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from streamflow_tpu.layers.common import Mlp, conv2d
+from streamflow_tpu.layers.common import CollectableDense, Mlp, conv2d
 
 
 class TemporalPatchEmbed(nn.Module):
@@ -130,31 +130,6 @@ def _lga_bwd(ws, nh, res, g):
 _lga_fused.defvjp(_lga_fwd, _lga_bwd)
 
 
-class _Dense(nn.Module):
-    """nn.Dense-compatible params (kernel (in, out), bias) with a ``collect``
-    mode returning the (dtype-cast) weights instead of applying — for handing
-    them to a fused kernel."""
-
-    features: int
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, in_dim: Optional[int] = None, collect: bool = False):
-        d = in_dim if x is None else x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (d, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
-        if collect:
-            return kernel.astype(dt), bias.astype(dt)
-        x = x.astype(dt)
-        y = jax.lax.dot_general(x, kernel.astype(dt),
-                                (((x.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return y.astype(dt) + bias.astype(dt)
-
-
 class LocallyGroupedAttn(nn.Module):
     """Windowed MHA over non-overlapping ws x ws groups (timm
     LocallyGroupedAttn). Zero-pads the grid to window multiples.
@@ -175,8 +150,8 @@ class LocallyGroupedAttn(nn.Module):
         ht, w = size
         ws = self.ws
         nh = self.num_heads
-        qkv = _Dense(3 * c, dtype=self.dtype, name="qkv")
-        proj = _Dense(c, dtype=self.dtype, name="proj")
+        qkv = CollectableDense(3 * c, dtype=self.dtype, name="qkv")
+        proj = CollectableDense(c, dtype=self.dtype, name="proj")
         wqkv, bqkv = qkv(None, in_dim=c, collect=True)
         wproj, bproj = proj(None, in_dim=c, collect=True)
 
@@ -304,7 +279,8 @@ class TwinsBlock(nn.Module):
                 dtype=self.dtype, name="attn")
         x = x + attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), size)
 
-        mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+        mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim,
+                      fused=self.lga_impl == "pallas", dtype=self.dtype,
                       name="mlp")(nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
         if self.temporal == "1dconv":
             # dirac-init temporal conv (identity at init) over the T axis

@@ -47,6 +47,24 @@ def test_skblock_fused_path_matches_unfused(fused_on_cpu, dw_impl):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_mlp_fused_matches_unfused(fused_on_cpu):
+    """Mlp(fused=True) (Twins encoder MLP through the ffn_pair kernel) keeps
+    the nn.Dense param tree and matches the composite."""
+    from streamflow_tpu.layers.common import Mlp
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 40, 128)), jnp.float32)
+    m_ref = Mlp(512, 128)
+    m_fused = Mlp(512, 128, fused=True)
+    p = m_ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(
+                m_fused.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_allclose(
+        np.asarray(m_fused.apply(p, x)), np.asarray(m_ref.apply(p, x)),
+        atol=2e-4, rtol=2e-4)
+
+
 def test_skblock_fused_grad(fused_on_cpu):
     """Autodiff through the fused SKBlock (custom_vjp recompute backwards)
     matches the plain XLA path."""
