@@ -120,6 +120,101 @@ def build_mapping(k_conv: Sequence[int] = (1, 15),
     return rules
 
 
+def _bn(dst, src) -> Tuple[List[Rule], List[Rule]]:
+    """BatchNorm2d -> flax nn.BatchNorm (anonymous child 'BatchNorm_0' of the
+    _Norm wrapper): (weight, bias) into params, running stats into the
+    batch_stats collection."""
+    params = [(f"{dst}/BatchNorm_0/scale", f"{src}.weight", "raw"),
+              (f"{dst}/BatchNorm_0/bias", f"{src}.bias", "raw")]
+    stats = [(f"{dst}/BatchNorm_0/mean", f"{src}.running_mean", "raw"),
+             (f"{dst}/BatchNorm_0/var", f"{src}.running_var", "raw")]
+    return params, stats
+
+
+def _basic_encoder(dst, src, norm_fn: str) -> Tuple[List[Rule], List[Rule]]:
+    """Reference BasicEncoder (core/extractor.py:121-194) ->
+    layers/basic_encoder.py::BasicEncoder. InstanceNorm carries no
+    parameters (torch affine=False); BatchNorm splits into params+stats."""
+    rules = _conv(f"{dst}/conv1", f"{src}.conv1")
+    rules += _conv(f"{dst}/conv2", f"{src}.conv2")
+    stats: List[Rule] = []
+
+    def norm(d, s):
+        if norm_fn == "batch":
+            p, st = _bn(d, s)
+            rules.extend(p)
+            stats.extend(st)
+
+    norm(f"{dst}/norm1", f"{src}.norm1")
+    strides = (1, 2, 2)
+    for i, stride in enumerate(strides, start=1):
+        for j in range(2):
+            bs = f"{src}.layer{i}.{j}"
+            bd = f"{dst}/layer{i}_{j}"
+            rules.extend(_conv(f"{bd}/conv1", f"{bs}.conv1"))
+            rules.extend(_conv(f"{bd}/conv2", f"{bs}.conv2"))
+            norm(f"{bd}/norm1", f"{bs}.norm1")
+            norm(f"{bd}/norm2", f"{bs}.norm2")
+            if j == 0 and stride != 1:
+                rules.extend(_conv(f"{bd}/downsample", f"{bs}.downsample.0"))
+                norm(f"{bd}/norm3", f"{bs}.norm3")
+    return rules, stats
+
+
+def build_raft_mapping(gma: bool = False) -> Tuple[List[Rule], List[Rule]]:
+    """RAFT / RAFT-GMA two-frame baselines (reference core/models/raft.py:71-190,
+    raftgma.py): BasicEncoder fnet (instance) + cnet (batch) +
+    BasicUpdateBlock/GMAUpdateBlock (core/update.py:1932-1953, 2245-2268)."""
+    rules, stats = _basic_encoder("fnet", "fnet", "instance")
+    r2, s2 = _basic_encoder("cnet", "cnet", "batch")
+    rules += r2
+    stats += s2
+
+    ub_s, ub_d = "update_block", "step/update_block"
+    for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        rules += _conv(f"{ub_d}/encoder/{c}", f"{ub_s}.encoder.{c}")
+    for tn, jn in (("1", "h"), ("2", "v")):
+        for g in ("convz", "convr", "convq"):
+            rules += _conv(f"{ub_d}/gru/{g}_{jn}", f"{ub_s}.gru.{g}{tn}")
+    rules += _conv(f"{ub_d}/flow_head/conv1", f"{ub_s}.flow_head.conv1")
+    rules += _conv(f"{ub_d}/flow_head/conv2", f"{ub_s}.flow_head.conv2")
+    rules += _conv(f"{ub_d}/mask/conv1", f"{ub_s}.mask.0")
+    rules += _conv(f"{ub_d}/mask/conv2", f"{ub_s}.mask.2")
+    if gma:
+        rules += _conv("att/to_qk", "att.to_qk")
+        rules += _conv(f"{ub_d}/aggregator/to_v", f"{ub_s}.aggregator.to_v")
+        rules += [(f"{ub_d}/aggregator/gamma", f"{ub_s}.aggregator.gamma",
+                   "raw")]
+    return rules, stats
+
+
+def convert_raft_checkpoint(state_dict: Dict[str, np.ndarray],
+                            gma: bool = False, strict: bool = True) -> dict:
+    """Flat torch state-dict -> {'params', 'batch_stats'} for models.RAFT
+    (update_block='raft' or, with gma=True, 'gma'). Accepts raw or
+    {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
+    if "model" in state_dict and isinstance(state_dict["model"], dict):
+        state_dict = state_dict["model"]
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("module."):] if k.startswith("module.") else k] = v
+
+    rules, stats = build_raft_mapping(gma=gma)
+    out = {"params": {}, "batch_stats": {}}
+    for tree, table in (("params", rules), ("batch_stats", stats)):
+        for dst, src, kind in table:
+            optional = kind.endswith("?")
+            kind = kind.rstrip("?")
+            if src not in sd:
+                if optional:
+                    continue
+                if strict:
+                    raise KeyError(f"checkpoint missing '{src}' (for {dst})")
+                continue
+            _set(out[tree], dst, apply_rule(kind, sd[src]))
+    return out
+
+
 def apply_rule(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv":

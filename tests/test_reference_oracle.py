@@ -77,6 +77,9 @@ def _install_timm_stub():
         def forward(self, x):
             return x
 
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vt = types.ModuleType("timm.models.vision_transformer")
@@ -84,12 +87,20 @@ def _install_timm_stub():
     layers = types.ModuleType("timm.models.layers")
     layers.DropPath = DropPath
     layers.Mlp = Mlp
+    layers.to_2tuple = to_2tuple
+    # `from timm.layers import ...` (core/extractor.py:7) — same classes
+    layers2 = types.ModuleType("timm.layers")
+    layers2.DropPath = DropPath
+    layers2.Mlp = Mlp
+    layers2.to_2tuple = to_2tuple
     timm.models = models
+    timm.layers = layers2
     models.vision_transformer = vt
     models.layers = layers
     mods = {"timm": timm, "timm.models": models,
             "timm.models.vision_transformer": vt,
             "timm.models.layers": layers,
+            "timm.layers": layers2,
             # `from encoders import *` in models/streamflow.py; the classes
             # are only touched via eval(args.Encoder), which we never call.
             "encoders": types.ModuleType("encoders")}
@@ -419,4 +430,100 @@ def test_decoder_chain_two_iterations_matches_reference(ref, oracle,
 
     np.testing.assert_allclose(
         np.asarray(final_jax).transpose(0, 3, 1, 2), final_ref,
+        atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Full two-frame RAFT model vs the reference's own code (second model family;
+# exercises BasicEncoder instance/batch norm semantics, the batch_stats
+# converter path, SepConvGRU, FlowHead and the RAFT update block end-to-end).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_raft(ref):
+    """Reference extractor + RAFT model, imported flat like the ``ref``
+    fixture (the timm stub provides timm.layers for core/extractor.py:7)."""
+    sys.path[0:0] = [REF_CORE, REF_MODELS]
+    try:
+        import extractor as ref_extractor
+        import raft as ref_raft_mod
+        import raftgma as ref_raftgma_mod
+
+        yield SimpleNamespace(extractor=ref_extractor, raft=ref_raft_mod,
+                              raftgma=ref_raftgma_mod)
+    finally:
+        for p in (REF_CORE, REF_MODELS):
+            sys.path.remove(p)
+        for m in ("extractor", "raft", "raftgma"):
+            sys.modules.pop(m, None)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ub", ["raft", "gma"])
+def test_raft_model_matches_reference(ref_raft, ub):
+    """models.RAFT (update_block='raft'/'gma') with weights converted by
+    convert_raft_checkpoint reproduces the reference RAFT / RAFTGMA
+    (core/models/raft.py:71-190, raftgma.py:71-190) end to end: 2 refinement
+    iterations at 128x192, instance-norm fnet, batch-norm cnet with RANDOM
+    running stats (so a stats-mapping bug cannot hide behind the 0/1
+    defaults)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.config import RAFTConfig
+    from streamflow_tpu.convert import convert_raft_checkpoint
+    from streamflow_tpu.models.raft import RAFT
+
+    args = argparse.Namespace(
+        model_name="raft-oracle", cost_encoder_v1=False, cost_encoder_v2=False,
+        mixed_precision=False, dropout=0, num_heads=1)
+    torch.manual_seed(0)
+    cls = ref_raft.raft.RAFT if ub == "raft" else ref_raft.raftgma.RAFTGMA
+    model = cls(args).eval()
+    _randomize(model, 5)
+    # randomize BN running stats too (mean ~N(0, 0.1), var in [0.5, 1.5])
+    g = torch.Generator().manual_seed(6)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    0.1 * torch.randn(m.running_mean.shape, generator=g))
+                m.running_var.copy_(
+                    0.5 + torch.rand(m.running_var.shape, generator=g))
+
+    gi = torch.Generator().manual_seed(7)
+    h8, w8 = 128, 192
+    img1 = (255 * torch.rand(1, 3, h8, w8, generator=gi))
+    img2 = (255 * torch.rand(1, 3, h8, w8, generator=gi))
+    with torch.no_grad():
+        lowres_ref, up_ref = model(img1.clone(), img2.clone(), iters=2,
+                                   test_mode=True)
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    variables = convert_raft_checkpoint(sd, gma=ub == "gma")
+
+    cfg = RAFTConfig(update_block=ub, mixed_precision=False, iters=2,
+                     corr_impl="xla", attn_impl="full")
+    jmodel = RAFT(cfg=cfg)
+    # converted tree must exactly match the model's own init structure
+    init_vars = jax.jit(
+        lambda k, a, b: jmodel.init(k, a, b, iters=2, test_mode=True)
+    )(jax.random.PRNGKey(0), jnp.asarray(_nhwc(img1)), jnp.asarray(_nhwc(img2)))
+    assert (jax.tree_util.tree_structure(init_vars["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+    assert (jax.tree_util.tree_structure(init_vars["batch_stats"])
+            == jax.tree_util.tree_structure(variables["batch_stats"]))
+
+    lowres_j, up_j = jax.jit(
+        lambda v, a, b: jmodel.apply(v, a, b, iters=2, test_mode=True)
+    )(variables, jnp.asarray(_nhwc(img1)), jnp.asarray(_nhwc(img2)))
+
+    np.testing.assert_allclose(
+        np.asarray(up_j).transpose(0, 3, 1, 2), up_ref.numpy(),
+        atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(lowres_j).transpose(0, 3, 1, 2), lowres_ref.numpy(),
         atol=2e-4, rtol=1e-3)
