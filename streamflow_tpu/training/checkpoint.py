@@ -80,3 +80,13 @@ def load_params_npz(path: str):
             node = node.setdefault(p, {})
         node[parts[-1]] = flat[key]
     return params
+
+
+def load_variables_npz(path: str):
+    """Load an npz into a flax variables dict for ``model.apply``.
+
+    Accepts both layouts: a bare params tree (wrapped as {'params': ...}) and
+    a full variables export with top-level 'params' (+ 'batch_stats' for the
+    batch-norm CNN encoders — tools/convert.py writes this layout)."""
+    tree = load_params_npz(path)
+    return tree if "params" in tree else {"params": tree}

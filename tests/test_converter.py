@@ -70,3 +70,97 @@ def test_converter_strips_module_prefix_and_model_key():
     out = convert_streamflow_checkpoint({"model": sd}, strict=False)
     flat = _flatten(out["params"])
     assert dst in flat and flat[dst].shape == (4, 4, 3, 8)
+
+
+def test_raft_converter_covers_model_variables_exactly():
+    """build_raft_mapping covers every params AND batch_stats leaf of
+    models.RAFT (update_block='gma' is the superset graph)."""
+    from streamflow_tpu.config import RAFTConfig
+    from streamflow_tpu.convert import convert_raft_checkpoint
+    from streamflow_tpu.convert.torch_import import build_raft_mapping
+
+    cfg = RAFTConfig(update_block="gma", mixed_precision=False, iters=1,
+                     corr_impl="xla", attn_impl="full")
+    model = create_model("raft", cfg=cfg)
+    img = jnp.zeros((1, 64, 96, 3))
+    ref = jax.jit(lambda k, a, b: model.init(k, a, b, iters=1,
+                                             test_mode=True))(
+        jax.random.PRNGKey(0), img, img)
+
+    rules, stats = build_raft_mapping(gma=True)
+    rng = np.random.default_rng(0)
+    sd = {}
+    covered = {"params": {}, "batch_stats": {}}
+    for coll, table in (("params", rules), ("batch_stats", stats)):
+        want = _flatten(ref[coll])
+        for dst, src, kind in table:
+            kind_c = kind.rstrip("?")
+            if dst not in want:
+                assert kind.endswith("?"), (
+                    f"converter writes unknown path {coll}/{dst}")
+                continue
+            sd[src] = rng.standard_normal(
+                torch_shape_for(kind_c, want[dst].shape)).astype(np.float32)
+            covered[coll][dst] = src
+        missing = sorted(set(want) - set(covered[coll]))
+        assert not missing, f"{coll}: misses {missing[:6]}"
+
+    out = convert_raft_checkpoint(sd, gma=True)
+    for coll in ("params", "batch_stats"):
+        assert set(_flatten(out[coll])) == set(_flatten(ref[coll]))
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """tools/convert.py: .pth (torch.save, module.-prefixed, 'model'-wrapped)
+    -> .npz -> load_variables_npz gives an applyable variables dict."""
+    import subprocess
+    import sys
+
+    import torch
+
+    from streamflow_tpu.config import RAFTConfig
+    from streamflow_tpu.convert.torch_import import (
+        build_raft_mapping,
+        torch_shape_for,
+    )
+    from streamflow_tpu.models import create_model as _cm
+    from streamflow_tpu.training.checkpoint import load_variables_npz
+
+    cfg = RAFTConfig(update_block="raft", mixed_precision=False, iters=1,
+                     corr_impl="xla", attn_impl="full")
+    model = _cm("raft", cfg=cfg)
+    img = jnp.zeros((1, 64, 96, 3))
+    ref = jax.jit(lambda k, a, b: model.init(k, a, b, iters=1,
+                                             test_mode=True))(
+        jax.random.PRNGKey(0), img, img)
+
+    rng = np.random.default_rng(1)
+    rules, stats = build_raft_mapping(gma=False)
+    sd = {}
+    for coll, table in (("params", rules), ("batch_stats", stats)):
+        want = _flatten(ref[coll])
+        for dst, src, kind in table:
+            if dst not in want:
+                continue
+            shape = torch_shape_for(kind.rstrip("?"), want[dst].shape)
+            if dst.endswith("/var"):
+                arr = 0.5 + rng.random(shape)  # variances must be positive
+            else:
+                arr = 0.1 * rng.standard_normal(shape)
+            sd["module." + src] = torch.from_numpy(arr.astype(np.float32))
+    pth = tmp_path / "raft.pth"
+    torch.save({"model": sd, "total_steps": 7}, pth)
+
+    out = tmp_path / "raft.npz"
+    r = subprocess.run(
+        [sys.executable, "tools/convert.py", "--pth", str(pth),
+         "--out", str(out), "--model", "raft"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    variables = load_variables_npz(str(out))
+    assert set(variables) == {"params", "batch_stats"}
+    y_low, y_up = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, iters=1, test_mode=True)
+    )(variables, img, img)
+    assert np.isfinite(np.asarray(y_up)).all()

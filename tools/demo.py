@@ -83,7 +83,7 @@ def main():
     from streamflow_tpu.data.flow_viz import flow_to_image
     from streamflow_tpu.models import create_model
     from streamflow_tpu.ops.padding import InputPadder
-    from streamflow_tpu.training.checkpoint import load_params_npz
+    from streamflow_tpu.training.checkpoint import load_variables_npz
 
     frames, fps = read_video(args.video, args.max_frames)
     assert len(frames) >= args.T, f"need >= {args.T} frames"
@@ -97,7 +97,7 @@ def main():
         np.stack(frames[: args.T])[None].astype(np.float32))
     padder = InputPadder(clip0.shape[-3:], mode="sintel")
     if args.ckpt:
-        params = {"params": load_params_npz(args.ckpt)}
+        params = load_variables_npz(args.ckpt)
     else:
         print("WARNING: no --ckpt; running random weights")
         params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(

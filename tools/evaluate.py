@@ -42,7 +42,7 @@ def main():
     from streamflow_tpu import evaluation
     from streamflow_tpu.config import StreamFlowConfig
     from streamflow_tpu.models import create_model
-    from streamflow_tpu.training.checkpoint import load_params_npz
+    from streamflow_tpu.training.checkpoint import load_variables_npz
 
     two_frame = args.model != "streamflow"
     if two_frame:
@@ -59,7 +59,7 @@ def main():
         model = create_model("streamflow", cfg=cfg)
 
     if args.ckpt:
-        params = {"params": load_params_npz(args.ckpt)}
+        params = load_variables_npz(args.ckpt)
     else:
         print("WARNING: no --ckpt given; evaluating random init")
         x = jnp.zeros((1, args.T, 64, 96, 3))

@@ -29,11 +29,11 @@ def main():
     from streamflow_tpu import submission
     from streamflow_tpu.config import StreamFlowConfig
     from streamflow_tpu.models import create_model
-    from streamflow_tpu.training.checkpoint import load_params_npz
+    from streamflow_tpu.training.checkpoint import load_variables_npz
 
     cfg = StreamFlowConfig(T=args.T, iters=args.iters)
     model = create_model("streamflow", cfg=cfg)
-    params = {"params": load_params_npz(args.ckpt)}
+    params = load_variables_npz(args.ckpt)
 
     if args.dataset == "sintel":
         submission.create_sintel_submission(
