@@ -219,9 +219,69 @@ def apply_rule(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv":
         return np.transpose(value, (2, 3, 1, 0))
+    if kind == "conv3d_t1":
+        # Conv3d with tubelet_size 1 (T kernel dim of extent 1) -> 2D conv
+        # kernel: (O, I, 1, kh, kw) -> (kh, kw, I, O)
+        return np.transpose(value[:, :, 0], (2, 3, 1, 0))
     if kind == "linear":
         return np.transpose(value, (1, 0))
     return value
+
+
+def build_umt_mapping(depth: int = 4) -> List[Rule]:
+    """UMT video ViT encoder (reference core/encoders/umt.py:209-368, the
+    4-block ViT-B/16 surgery) -> layers/umt.py::UMT. The reference's
+    Attention keeps separate q_bias/v_bias with k pinned to zero
+    (umt.py:69-85); the flax qkv bias is assembled from them by
+    convert_umt_params."""
+    rules: List[Rule] = [
+        ("patch_embed/kernel", "patch_embed.proj.weight", "conv3d_t1"),
+        ("patch_embed/bias", "patch_embed.proj.bias", "raw?"),
+    ]
+    for i in range(depth):
+        bs, bd = f"blocks.{i}", f"block{i}"
+        rules += _ln(f"{bd}/norm1", f"{bs}.norm1")
+        rules += _ln(f"{bd}/norm2", f"{bs}.norm2")
+        rules += [(f"{bd}/qkv/kernel", f"{bs}.attn.qkv.weight", "linear")]
+        rules += _linear(f"{bd}/proj", f"{bs}.attn.proj")
+        rules += _linear(f"{bd}/mlp/fc1", f"{bs}.mlp.fc1")
+        rules += _linear(f"{bd}/mlp/fc2", f"{bs}.mlp.fc2")
+    return rules
+
+
+def convert_umt_params(state_dict: Dict[str, np.ndarray], depth: int = 4,
+                       prefix: str = "", strict: bool = True) -> dict:
+    """Torch UMT/VideoMAE state-dict -> flax params tree for layers/umt.py.
+    ``prefix`` addresses a sub-module (e.g. 'fnet.' inside a full model)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    tree: dict = {}
+    for dst, src, kind in build_umt_mapping(depth):
+        optional = kind.endswith("?")
+        kind = kind.rstrip("?")
+        if src not in sd:
+            if optional:
+                continue
+            if strict:
+                raise KeyError(f"checkpoint missing '{src}' (for {dst})")
+            continue
+        _set(tree, dst, apply_rule(kind, sd[src]))
+    # qkv bias = [q_bias, zeros, v_bias] (k bias is a softmax no-op, pinned
+    # to zero by the reference)
+    for i in range(depth):
+        qb = sd.get(f"blocks.{i}.attn.q_bias")
+        vb = sd.get(f"blocks.{i}.attn.v_bias")
+        if qb is None or vb is None:
+            if strict:
+                raise KeyError(f"checkpoint missing q/v bias for block {i}")
+            continue
+        qb = np.asarray(qb)
+        _set(tree, f"block{i}/qkv/bias",
+             np.concatenate([qb, np.zeros_like(qb), np.asarray(vb)]))
+    return {"params": tree}
 
 
 def torch_shape_for(kind: str, flax_shape) -> tuple:

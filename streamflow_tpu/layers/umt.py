@@ -31,7 +31,11 @@ class _ViTBlock(nn.Module):
         nh = self.num_heads
         hd = c // nh
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(y)
+        # qkv carries a bias like the reference's qkv_bias=True path
+        # (core/encoders/umt.py:69-85: learned q_bias/v_bias, k bias pinned
+        # to zero — a softmax no-op; here one zero-init (3C,) vector, with the
+        # converter assembling [q_bias, 0, v_bias] from VideoMAE checkpoints)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4),
                             3, axis=0)
         q, k, v = q[0], k[0], v[0]

@@ -80,6 +80,17 @@ def _install_timm_stub():
     def to_2tuple(x):
         return x if isinstance(x, tuple) else (x, x)
 
+    def drop_path(x, drop_prob=0.0, training=False):
+        return x
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a, b)
+        return tensor
+
+    def register_model(fn):
+        return fn
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vt = types.ModuleType("timm.models.vision_transformer")
@@ -88,6 +99,10 @@ def _install_timm_stub():
     layers.DropPath = DropPath
     layers.Mlp = Mlp
     layers.to_2tuple = to_2tuple
+    layers.drop_path = drop_path
+    layers.trunc_normal_ = trunc_normal_
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = register_model
     # `from timm.layers import ...` (core/extractor.py:7) — same classes
     layers2 = types.ModuleType("timm.layers")
     layers2.DropPath = DropPath
@@ -97,9 +112,11 @@ def _install_timm_stub():
     timm.layers = layers2
     models.vision_transformer = vt
     models.layers = layers
+    models.registry = registry
     mods = {"timm": timm, "timm.models": models,
             "timm.models.vision_transformer": vt,
             "timm.models.layers": layers,
+            "timm.models.registry": registry,
             "timm.layers": layers2,
             # `from encoders import *` in models/streamflow.py; the classes
             # are only touched via eval(args.Encoder), which we never call.
@@ -527,3 +544,63 @@ def test_raft_model_matches_reference(ref_raft, ub):
     np.testing.assert_allclose(
         np.asarray(lowres_j).transpose(0, 3, 1, 2), lowres_ref.numpy(),
         atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# UMT video ViT encoder vs the reference's own code (4-block ViT-B/16 with
+# joint space-time attention, q/v-bias attention, tubelet-1 patch embed).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_umt_encoder_matches_reference(ref, monkeypatch):
+    """layers/umt.py::UMT with convert_umt_params weights reproduces the
+    reference VisionTransformer (core/encoders/umt.py:209-368) after its
+    4-block surgery. The reference constructor hard-loads a checkpoint file
+    (umt.py:285-292); torch.load / load_state_dict are stubbed so random
+    init survives."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.convert.torch_import import convert_umt_params
+    from streamflow_tpu.layers.umt import UMT
+
+    sys.path[0:0] = ["/root/reference/core/encoders"]
+    try:
+        import umt as ref_umt
+    finally:
+        sys.path.remove("/root/reference/core/encoders")
+    try:
+        monkeypatch.setattr(ref_umt.torch, "load", lambda *a, **k: {})
+        monkeypatch.setattr(ref_umt.VisionTransformer, "load_state_dict",
+                            lambda self, sd, strict=True: None)
+        t, h8, w8 = 2, 64, 96
+        torch.manual_seed(0)
+        model = ref_umt.VisionTransformer(
+            img_size=(h8, w8), patch_size=16, embed_dim=768, depth=12,
+            num_heads=12, mlp_ratio=4, qkv_bias=True, all_frames=t,
+            norm_layer=_ft.partial(torch.nn.LayerNorm, eps=1e-6)).eval()
+        _randomize(model, 8)
+
+        g = torch.Generator().manual_seed(9)
+        x = torch.randn(1, t, 3, h8, w8, generator=g)
+        with torch.no_grad():
+            out_ref = model(x)  # (B, T, C, h, w)
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        variables = convert_umt_params(sd, depth=4)
+
+        jmodel = UMT(depth=4, dtype=None)
+        xj = jnp.asarray(x.permute(0, 1, 3, 4, 2).numpy())
+        init = jax.jit(jmodel.init)(jax.random.PRNGKey(0), xj)
+        assert (jax.tree_util.tree_structure(init["params"])
+                == jax.tree_util.tree_structure(variables["params"]))
+        out_j = jax.jit(jmodel.apply)(variables, xj)  # (B, T, h, w, C)
+
+        np.testing.assert_allclose(
+            np.asarray(out_j).transpose(0, 1, 4, 2, 3), out_ref.numpy(),
+            atol=2e-4, rtol=1e-3)
+    finally:
+        sys.modules.pop("umt", None)
