@@ -161,26 +161,41 @@ def _basic_encoder(dst, src, norm_fn: str) -> Tuple[List[Rule], List[Rule]]:
     return rules, stats
 
 
-def build_raft_mapping(gma: bool = False) -> Tuple[List[Rule], List[Rule]]:
-    """RAFT / RAFT-GMA two-frame baselines (reference core/models/raft.py:71-190,
-    raftgma.py): BasicEncoder fnet (instance) + cnet (batch) +
-    BasicUpdateBlock/GMAUpdateBlock (core/update.py:1932-1953, 2245-2268)."""
+def build_raft_mapping(update_block: str = "raft",
+                       k_conv: Sequence[int] = (1, 15),
+                       pc_updater_conv: Sequence[int] = (1, 7),
+                       ) -> Tuple[List[Rule], List[Rule]]:
+    """Two-frame baselines: RAFT / RAFT-GMA / SKFlow (reference
+    core/models/raft.py:71-190, raftgma.py, sk_decoder.py:79-209):
+    BasicEncoder fnet (instance) + cnet (batch) + BasicUpdateBlock /
+    GMAUpdateBlock / SKUpdateBlock6_Deep_nopoolres_AllDecoder
+    (core/update.py:1932-1953, 2245-2268, 410-448)."""
     rules, stats = _basic_encoder("fnet", "fnet", "instance")
     r2, s2 = _basic_encoder("cnet", "cnet", "batch")
     rules += r2
     stats += s2
 
     ub_s, ub_d = "update_block", "step/update_block"
-    for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
-        rules += _conv(f"{ub_d}/encoder/{c}", f"{ub_s}.encoder.{c}")
-    for tn, jn in (("1", "h"), ("2", "v")):
-        for g in ("convz", "convr", "convq"):
-            rules += _conv(f"{ub_d}/gru/{g}_{jn}", f"{ub_s}.gru.{g}{tn}")
-    rules += _conv(f"{ub_d}/flow_head/conv1", f"{ub_s}.flow_head.conv1")
-    rules += _conv(f"{ub_d}/flow_head/conv2", f"{ub_s}.flow_head.conv2")
+    if update_block == "sk":
+        enc = f"{ub_s}.encoder"
+        rules += _sk_block(f"{ub_d}/encoder/convc1", f"{enc}.convc1", k_conv)
+        rules += _sk_block(f"{ub_d}/encoder/convc2", f"{enc}.convc2", k_conv)
+        rules += _conv(f"{ub_d}/encoder/convf1", f"{enc}.convf1")
+        rules += _sk_block(f"{ub_d}/encoder/convf2", f"{enc}.convf2", k_conv)
+        rules += _sk_block(f"{ub_d}/encoder/conv", f"{enc}.conv", k_conv)
+        rules += _sk_block(f"{ub_d}/gru", f"{ub_s}.gru", pc_updater_conv)
+        rules += _sk_block(f"{ub_d}/flow_head", f"{ub_s}.flow_head", k_conv)
+    else:
+        for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
+            rules += _conv(f"{ub_d}/encoder/{c}", f"{ub_s}.encoder.{c}")
+        for tn, jn in (("1", "h"), ("2", "v")):
+            for g in ("convz", "convr", "convq"):
+                rules += _conv(f"{ub_d}/gru/{g}_{jn}", f"{ub_s}.gru.{g}{tn}")
+        rules += _conv(f"{ub_d}/flow_head/conv1", f"{ub_s}.flow_head.conv1")
+        rules += _conv(f"{ub_d}/flow_head/conv2", f"{ub_s}.flow_head.conv2")
     rules += _conv(f"{ub_d}/mask/conv1", f"{ub_s}.mask.0")
     rules += _conv(f"{ub_d}/mask/conv2", f"{ub_s}.mask.2")
-    if gma:
+    if update_block in ("gma", "sk"):
         rules += _conv("att/to_qk", "att.to_qk")
         rules += _conv(f"{ub_d}/aggregator/to_v", f"{ub_s}.aggregator.to_v")
         rules += [(f"{ub_d}/aggregator/gamma", f"{ub_s}.aggregator.gamma",
@@ -189,17 +204,20 @@ def build_raft_mapping(gma: bool = False) -> Tuple[List[Rule], List[Rule]]:
 
 
 def convert_raft_checkpoint(state_dict: Dict[str, np.ndarray],
-                            gma: bool = False, strict: bool = True) -> dict:
+                            update_block: str = "raft",
+                            strict: bool = True, gma: bool = False) -> dict:
     """Flat torch state-dict -> {'params', 'batch_stats'} for models.RAFT
-    (update_block='raft' or, with gma=True, 'gma'). Accepts raw or
-    {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
+    (update_block='raft' | 'gma' | 'sk'; legacy gma=True implies 'gma').
+    Accepts raw or {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
+    if gma and update_block == "raft":
+        update_block = "gma"
     if "model" in state_dict and isinstance(state_dict["model"], dict):
         state_dict = state_dict["model"]
     sd = {}
     for k, v in state_dict.items():
         sd[k[len("module."):] if k.startswith("module.") else k] = v
 
-    rules, stats = build_raft_mapping(gma=gma)
+    rules, stats = build_raft_mapping(update_block=update_block)
     out = {"params": {}, "batch_stats": {}}
     for tree, table in (("params", rules), ("batch_stats", stats)):
         for dst, src, kind in table:

@@ -87,7 +87,7 @@ def test_raft_converter_covers_model_variables_exactly():
                                              test_mode=True))(
         jax.random.PRNGKey(0), img, img)
 
-    rules, stats = build_raft_mapping(gma=True)
+    rules, stats = build_raft_mapping(update_block="gma")
     rng = np.random.default_rng(0)
     sd = {}
     covered = {"params": {}, "batch_stats": {}}
@@ -105,7 +105,7 @@ def test_raft_converter_covers_model_variables_exactly():
         missing = sorted(set(want) - set(covered[coll]))
         assert not missing, f"{coll}: misses {missing[:6]}"
 
-    out = convert_raft_checkpoint(sd, gma=True)
+    out = convert_raft_checkpoint(sd, update_block="gma")
     for coll in ("params", "batch_stats"):
         assert set(_flatten(out[coll])) == set(_flatten(ref[coll]))
 
@@ -135,7 +135,7 @@ def test_convert_cli_roundtrip(tmp_path):
         jax.random.PRNGKey(0), img, img)
 
     rng = np.random.default_rng(1)
-    rules, stats = build_raft_mapping(gma=False)
+    rules, stats = build_raft_mapping(update_block="raft")
     sd = {}
     for coll, table in (("params", rules), ("batch_stats", stats)):
         want = _flatten(ref[coll])

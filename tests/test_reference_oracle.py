@@ -466,25 +466,27 @@ def ref_raft(ref):
         import extractor as ref_extractor
         import raft as ref_raft_mod
         import raftgma as ref_raftgma_mod
+        import sk_decoder as ref_sk_mod
 
         yield SimpleNamespace(extractor=ref_extractor, raft=ref_raft_mod,
-                              raftgma=ref_raftgma_mod)
+                              raftgma=ref_raftgma_mod, sk=ref_sk_mod)
     finally:
         for p in (REF_CORE, REF_MODELS):
             sys.path.remove(p)
-        for m in ("extractor", "raft", "raftgma"):
+        for m in ("extractor", "raft", "raftgma", "sk_decoder"):
             sys.modules.pop(m, None)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("ub", ["raft", "gma"])
-def test_raft_model_matches_reference(ref_raft, ub):
-    """models.RAFT (update_block='raft'/'gma') with weights converted by
-    convert_raft_checkpoint reproduces the reference RAFT / RAFTGMA
-    (core/models/raft.py:71-190, raftgma.py:71-190) end to end: 2 refinement
-    iterations at 128x192, instance-norm fnet, batch-norm cnet with RANDOM
-    running stats (so a stats-mapping bug cannot hide behind the 0/1
-    defaults)."""
+@pytest.mark.parametrize("ub", ["raft", "gma", "sk"])
+def test_raft_model_matches_reference(ref_raft, ub, monkeypatch):
+    """models.RAFT (update_block='raft'/'gma'/'sk') with weights converted by
+    convert_raft_checkpoint reproduces the reference RAFT / RAFTGMA /
+    SK_Decoder (core/models/raft.py:71-190, raftgma.py, sk_decoder.py:79-209)
+    end to end: 2 refinement iterations at 128x192, instance-norm fnet,
+    batch-norm cnet with RANDOM running stats (so a stats-mapping bug cannot
+    hide behind the 0/1 defaults). SK_Decoder's hard-coded debug-image writes
+    (sk_decoder.py:180,189 — a known reference defect) are stubbed out."""
     import argparse
 
     import jax
@@ -496,9 +498,24 @@ def test_raft_model_matches_reference(ref_raft, ub):
 
     args = argparse.Namespace(
         model_name="raft-oracle", cost_encoder_v1=False, cost_encoder_v2=False,
-        mixed_precision=False, dropout=0, num_heads=1)
+        cost_encoder_v3=False, mixed_precision=False, dropout=0, num_heads=1,
+        UpdateBlock="SKUpdateBlock6_Deep_nopoolres_AllDecoder", use_gma=True,
+        decoder_dim=256, k_conv=[1, 15], PCUpdater_conv=[1, 7],
+        Encoder="BasicEncoder")
     torch.manual_seed(0)
-    cls = ref_raft.raft.RAFT if ub == "raft" else ref_raft.raftgma.RAFTGMA
+    if ub == "sk":
+        # Two reference defects stubbed/repaired to make its own model run
+        # (SURVEY vintage sk_decoder.py): hard-coded debug-image writes
+        # (:180,189) and eval-dispatch passing hidden_dim= to an update block
+        # whose __init__ doesn't accept it (:95 vs update.py:410).
+        monkeypatch.setattr(ref_raft.sk, "vis_featmap", lambda *a, **k: None)
+        real_blk = ref_raft.sk.SKUpdateBlock6_Deep_nopoolres_AllDecoder
+        monkeypatch.setattr(
+            ref_raft.sk, "SKUpdateBlock6_Deep_nopoolres_AllDecoder",
+            lambda args, hidden_dim=128: real_blk(args))
+        cls = ref_raft.sk.SK_Decoder
+    else:
+        cls = ref_raft.raft.RAFT if ub == "raft" else ref_raft.raftgma.RAFTGMA
     model = cls(args).eval()
     _randomize(model, 5)
     # randomize BN running stats too (mean ~N(0, 0.1), var in [0.5, 1.5])
@@ -520,10 +537,10 @@ def test_raft_model_matches_reference(ref_raft, ub):
                                    test_mode=True)
 
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
-    variables = convert_raft_checkpoint(sd, gma=ub == "gma")
+    variables = convert_raft_checkpoint(sd, update_block=ub)
 
     cfg = RAFTConfig(update_block=ub, mixed_precision=False, iters=2,
-                     corr_impl="xla", attn_impl="full")
+                     use_gma=ub == "sk", corr_impl="xla", attn_impl="full")
     jmodel = RAFT(cfg=cfg)
     # converted tree must exactly match the model's own init structure
     init_vars = jax.jit(
@@ -538,12 +555,15 @@ def test_raft_model_matches_reference(ref_raft, ub):
         lambda v, a, b: jmodel.apply(v, a, b, iters=2, test_mode=True)
     )(variables, jnp.asarray(_nhwc(img1)), jnp.asarray(_nhwc(img2)))
 
+    # the SK gelu-residual chains amplify fp32 reassociation noise on flows
+    # spanning O(200); absolute tolerance scaled accordingly for 'sk'
+    atol = 2e-2 if ub == "sk" else 2e-4
     np.testing.assert_allclose(
         np.asarray(up_j).transpose(0, 3, 1, 2), up_ref.numpy(),
-        atol=2e-4, rtol=1e-3)
+        atol=atol, rtol=1e-3)
     np.testing.assert_allclose(
         np.asarray(lowres_j).transpose(0, 3, 1, 2), lowres_ref.numpy(),
-        atol=2e-4, rtol=1e-3)
+        atol=atol, rtol=1e-3)
 
 
 # ---------------------------------------------------------------------------

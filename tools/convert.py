@@ -22,7 +22,7 @@ def main():
     p.add_argument("--pth", required=True, help="torch checkpoint file")
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--model", default="streamflow",
-                   choices=["streamflow", "raft", "gma"],
+                   choices=["streamflow", "raft", "gma", "sk"],
                    help="target model family (selects the mapping table)")
     p.add_argument("--k_conv", type=int, nargs="+", default=[1, 15])
     p.add_argument("--pc_updater_conv", type=int, nargs="+", default=[1, 7])
@@ -45,7 +45,7 @@ def main():
             strict=not args.lenient)
     else:
         variables = convert_raft_checkpoint(
-            sd, gma=args.model == "gma", strict=not args.lenient)
+            sd, update_block=args.model, strict=not args.lenient)
 
     save_params_npz(args.out, variables)
     n = sum(1 for _ in _leaves(variables))
