@@ -37,18 +37,11 @@ def main():
     from streamflow_tpu.ops.padding import InputPadder
 
     B, T, H, W = 1, 4, 436, 1024
-    cfg = StreamFlowConfig(T=T, iters=12, mixed_precision=True)
-    model = create_model("streamflow", cfg=cfg)
-
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)), dtype=jnp.float32)
     padder = InputPadder((H, W, 3), mode="sintel")
     imgs = padder.pad(imgs.reshape(B * T, H, W, 3)).reshape(
         B, T, *padder.padded_shape, 3
-    )
-
-    params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
-        jax.random.PRNGKey(0), imgs
     )
 
     # The TPU sits behind a high-latency tunnel (~25ms RTT), so naive per-call
@@ -58,16 +51,35 @@ def main():
     # sequentially on-device; a single scalar fetch closes the pipeline.
     n_rep = 10
 
-    @jax.jit
-    def step(params, imgs, eps):
-        flows = model.apply(params, imgs + eps, test_mode=True)
-        return jnp.mean(flows) * 1e-9
+    def build(cfg):
+        model = create_model("streamflow", cfg=cfg)
+        params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
+            jax.random.PRNGKey(0), imgs
+        )
 
-    step_ = step
-    step = lambda e: step_(params, imgs, e)  # args, not HLO constants
+        @jax.jit
+        def step_(params, imgs, eps):
+            flows = model.apply(params, imgs + eps, test_mode=True)
+            return jnp.mean(flows) * 1e-9
 
-    # Warmup/compile + fetch.
-    float(step(jnp.float32(0.0)))
+        step = lambda e: step_(params, imgs, e)  # args, not HLO constants
+        float(step(jnp.float32(0.0)))  # warmup/compile + fetch
+        return step
+
+    fallback = False
+    try:
+        step = build(StreamFlowConfig(T=T, iters=12, mixed_precision=True))
+    except Exception as e:  # defensive: the fast path uses Mosaic custom
+        # calls; if any fails to compile on this toolchain, still produce a
+        # benchmark number on the portable XLA path rather than no artifact
+        import sys
+
+        print(f"bench: default config failed ({type(e).__name__}); "
+              f"falling back to xla/full/xla", file=sys.stderr)
+        fallback = True
+        step = build(StreamFlowConfig(T=T, iters=12, mixed_precision=True,
+                                      corr_impl="xla", attn_impl="full",
+                                      dw_impl="xla"))
 
     # Measure the RTT+dispatch floor with a trivial executable.
     @jax.jit
@@ -99,6 +111,7 @@ def main():
         "ms_per_clip": round(1e3 * dt, 2),
         "rtt_floor_ms": round(1e3 * floor / n_rep, 2),
         "check": r,
+        **({"fallback_config": "xla/full/xla"} if fallback else {}),
     }))
 
 
