@@ -87,8 +87,11 @@ class StreamFlowConfig:
     gsa_chunk: int = 0
     # Locally-grouped (windowed) attention inside the Twins encoder:
     # "pallas" fuses window partition + qkv + softmax + proj into one
-    # VMEM-resident kernel (ops/pallas/_lga_kernel.py); "xla" is the
-    # reshape/transpose composite. "auto" resolves per backend.
+    # VMEM-resident kernel (ops/pallas/_lga_kernel.py) and switches the
+    # Twins MLPs to the fused ffn_pair kernel; "xla" is the
+    # reshape/transpose composite. "auto" currently resolves to "xla" on
+    # every backend — the fused mode is opt-in until it is measured
+    # end-to-end on hardware (ROADMAP r3s3).
     lga_impl: str = "auto"
 
     dropout: float = 0.0
@@ -135,7 +138,9 @@ class StreamFlowConfig:
         resolutions, so checkpoints are backend-portable."""
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
-        if "auto" in (corr, attn, lga):
+        if lga == "auto":
+            lga = "xla"  # fused LGA is opt-in until measured on hardware
+        if "auto" in (corr, attn):
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
@@ -143,8 +148,6 @@ class StreamFlowConfig:
                 corr = "pallas" if on_tpu else "xla"
             if attn == "auto":
                 attn = "flash" if on_tpu else "full"
-            if lga == "auto":
-                lga = "xla"
         if dw == "auto":
             dw = "xla_cond" if corr == "pallas" else "xla"
         if (corr, dw, attn, lga) == (self.corr_impl, self.dw_impl,

@@ -211,25 +211,11 @@ def convert_raft_checkpoint(state_dict: Dict[str, np.ndarray],
     Accepts raw or {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
     if gma and update_block == "raft":
         update_block = "gma"
-    if "model" in state_dict and isinstance(state_dict["model"], dict):
-        state_dict = state_dict["model"]
-    sd = {}
-    for k, v in state_dict.items():
-        sd[k[len("module."):] if k.startswith("module.") else k] = v
-
+    sd = _strip_wrappers(state_dict)
     rules, stats = build_raft_mapping(update_block=update_block)
     out = {"params": {}, "batch_stats": {}}
-    for tree, table in (("params", rules), ("batch_stats", stats)):
-        for dst, src, kind in table:
-            optional = kind.endswith("?")
-            kind = kind.rstrip("?")
-            if src not in sd:
-                if optional:
-                    continue
-                if strict:
-                    raise KeyError(f"checkpoint missing '{src}' (for {dst})")
-                continue
-            _set(out[tree], dst, apply_rule(kind, sd[src]))
+    _apply_table(out["params"], sd, rules, strict)
+    _apply_table(out["batch_stats"], sd, stats, strict)
     return out
 
 
@@ -271,22 +257,12 @@ def convert_umt_params(state_dict: Dict[str, np.ndarray], depth: int = 4,
                        prefix: str = "", strict: bool = True) -> dict:
     """Torch UMT/VideoMAE state-dict -> flax params tree for layers/umt.py.
     ``prefix`` addresses a sub-module (e.g. 'fnet.' inside a full model)."""
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in state_dict.items()}
+    sd = _strip_wrappers(state_dict)
     if prefix:
         sd = {k[len(prefix):]: v for k, v in sd.items()
               if k.startswith(prefix)}
     tree: dict = {}
-    for dst, src, kind in build_umt_mapping(depth):
-        optional = kind.endswith("?")
-        kind = kind.rstrip("?")
-        if src not in sd:
-            if optional:
-                continue
-            if strict:
-                raise KeyError(f"checkpoint missing '{src}' (for {dst})")
-            continue
-        _set(tree, dst, apply_rule(kind, sd[src]))
+    _apply_table(tree, sd, build_umt_mapping(depth), strict)
     # qkv bias = [q_bias, zeros, v_bias] (k bias is a softmax no-op, pinned
     # to zero by the reference)
     for i in range(depth):
@@ -307,6 +283,9 @@ def torch_shape_for(kind: str, flax_shape) -> tuple:
     if kind == "conv":
         kh, kw, i, o = flax_shape
         return (o, i, kh, kw)
+    if kind == "conv3d_t1":
+        kh, kw, i, o = flax_shape
+        return (o, i, 1, kh, kw)
     if kind == "linear":
         i, o = flax_shape
         return (o, i)
@@ -321,22 +300,20 @@ def _set(tree: dict, path: str, value):
     node[parts[-1]] = np.asarray(value)
 
 
-def convert_streamflow_checkpoint(
-    state_dict: Dict[str, np.ndarray],
-    k_conv: Sequence[int] = (1, 15),
-    pc_updater_conv: Sequence[int] = (1, 7),
-    strict: bool = True,
-) -> dict:
-    """Flat torch state-dict -> flax params for models.StreamFlow. Accepts
-    raw or {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
+def _strip_wrappers(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Unwrap the reference checkpoint format: optional {'model': ...} key and
+    DataParallel 'module.' prefixes (train_mf.py:207-212, demo.py:388)."""
     if "model" in state_dict and isinstance(state_dict["model"], dict):
         state_dict = state_dict["model"]
-    sd = {}
-    for k, v in state_dict.items():
-        sd[k[len("module."):] if k.startswith("module.") else k] = v
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in state_dict.items()}
 
-    tree: dict = {}
-    for dst, src, kind in build_mapping(k_conv, pc_updater_conv):
+
+def _apply_table(tree: dict, sd: Dict[str, np.ndarray],
+                 table: Sequence[Rule], strict: bool) -> None:
+    """Apply one mapping table into ``tree``; a trailing '?' on a rule's kind
+    marks the source key optional."""
+    for dst, src, kind in table:
         optional = kind.endswith("?")
         kind = kind.rstrip("?")
         if src not in sd:
@@ -346,6 +323,19 @@ def convert_streamflow_checkpoint(
                 raise KeyError(f"checkpoint missing '{src}' (for {dst})")
             continue
         _set(tree, dst, apply_rule(kind, sd[src]))
+
+
+def convert_streamflow_checkpoint(
+    state_dict: Dict[str, np.ndarray],
+    k_conv: Sequence[int] = (1, 15),
+    pc_updater_conv: Sequence[int] = (1, 7),
+    strict: bool = True,
+) -> dict:
+    """Flat torch state-dict -> flax params for models.StreamFlow. Accepts
+    raw or {'model': ...}-wrapped dicts; strips 'module.' prefixes."""
+    sd = _strip_wrappers(state_dict)
+    tree: dict = {}
+    _apply_table(tree, sd, build_mapping(k_conv, pc_updater_conv), strict)
     return {"params": tree}
 
 

@@ -18,28 +18,22 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 class CollectableDense(nn.Module):
-    """nn.Dense-compatible params (kernel (in, out), bias) with a ``collect``
-    mode that returns the (dtype-cast) weights instead of applying — for
-    handing them to a fused Pallas kernel."""
+    """nn.Dense-compatible params (kernel (in, out), bias (out,)) returned as
+    (dtype-cast) arrays instead of applied — for handing them to a fused
+    Pallas kernel. Callers apply the weights themselves."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, in_dim: Optional[int] = None, collect: bool = False):
-        d = in_dim if x is None else x.shape[-1]
+    def __call__(self, x, in_dim: Optional[int] = None, collect: bool = True):
+        assert collect and x is None, "CollectableDense only collects"
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (d, self.features), jnp.float32)
+                            (in_dim, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
-        if collect:
-            return kernel.astype(dt), bias.astype(dt)
-        x = x.astype(dt)
-        y = jax.lax.dot_general(x, kernel.astype(dt),
-                                (((x.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return y.astype(dt) + bias.astype(dt)
+        dt = self.dtype or jnp.float32
+        return kernel.astype(dt), bias.astype(dt)
 
 
 class Mlp(nn.Module):

@@ -53,8 +53,8 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None):
     return y.astype(dt)
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
-    x = x_ref[...]
+def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual):
+    """Shared FFN-pair math: o = [gelu(x +)] gelu(x@W1+b1)@W2+b2."""
     dt = x.dtype
     h = jax.lax.dot_general(
         x, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
@@ -67,6 +67,10 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
     if residual:
         y = _gelu(x.astype(jnp.float32) + y)
     o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
+    _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
 
 
 def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
@@ -81,17 +85,7 @@ def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         preferred_element_type=jnp.float32)
     x = _gelu(x.astype(jnp.float32) + p
               + bp_ref[...].astype(jnp.float32)).astype(dt)
-    h = jax.lax.dot_general(
-        x, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    h = _gelu(h + b1_ref[...].astype(jnp.float32)).astype(dt)
-    y = jax.lax.dot_general(
-        h, w2_ref[...].astype(dt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = y + b2_ref[...].astype(jnp.float32)
-    if residual:
-        y = _gelu(x.astype(jnp.float32) + y)
-    o_ref[...] = y.astype(o_ref.dtype)
+    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
 
 
 @functools.partial(jax.jit,

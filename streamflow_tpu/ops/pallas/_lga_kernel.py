@@ -45,7 +45,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref, *,
     qkv = jax.lax.dot_general(
         xw, wqkv_ref[...].astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dt) + bqkv_ref[...].astype(dt)
+    ).astype(dt) + bqkv_ref[0].astype(dt)
     qkv = qkv.reshape(gw, s, 3, nh, hd)
 
     def heads(i):
@@ -69,7 +69,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref, *,
     out = jax.lax.dot_general(
         out, wproj_ref[...].astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dt) + bproj_ref[...].astype(dt)
+    ).astype(dt) + bproj_ref[0].astype(dt)
 
     # back to grid layout: (gw, ws, ws, C) -> (ws, Wp, C)
     o_ref[0] = out.reshape(gw, ws, ws, c).transpose(1, 0, 2, 3).reshape(
@@ -92,9 +92,11 @@ def lga_attention(x, wqkv, bqkv, wproj, bproj, *, ws: int, nh: int,
         in_specs=[
             pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((c, 3 * c), lambda i, j: (0, 0)),
-            pl.BlockSpec((3 * c,), lambda i, j: (0,)),
+            # biases as (1, C) rows — Mosaic's preferred layout for
+            # broadcast operands (matches _ffn_kernel / _dw_conv_kernel)
+            pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -102,4 +104,4 @@ def lga_attention(x, wqkv, bqkv, wproj, bproj, *, ws: int, nh: int,
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(x, wqkv, bqkv, wproj, bproj)
+    )(x, wqkv, bqkv.reshape(1, 3 * c), wproj, bproj.reshape(1, c))

@@ -152,10 +152,13 @@ def test_convert_cli_roundtrip(tmp_path):
     torch.save({"model": sd, "total_steps": 7}, pth)
 
     out = tmp_path / "raft.npz"
+    import pathlib
+
+    repo_root = pathlib.Path(__file__).resolve().parent.parent
     r = subprocess.run(
-        [sys.executable, "tools/convert.py", "--pth", str(pth),
-         "--out", str(out), "--model", "raft"],
-        capture_output=True, text=True, cwd="/root/repo")
+        [sys.executable, str(repo_root / "tools" / "convert.py"),
+         "--pth", str(pth), "--out", str(out), "--model", "raft"],
+        capture_output=True, text=True, cwd=repo_root)
     assert r.returncode == 0, r.stderr[-2000:]
 
     variables = load_variables_npz(str(out))
