@@ -565,6 +565,20 @@ def test_raft_model_matches_reference(ref_raft, ub, monkeypatch):
         np.asarray(lowres_j).transpose(0, 3, 1, 2), lowres_ref.numpy(),
         atol=atol, rtol=1e-3)
 
+    # warm start: feed the low-res flow back as flow_init on both sides
+    # (reference raft.py:157-158)
+    with torch.no_grad():
+        _, up_ref2 = model(img1.clone(), img2.clone(), iters=1,
+                           flow_init=0.5 * lowres_ref, test_mode=True)
+    _, up_j2 = jax.jit(
+        lambda v, a, b, fi: jmodel.apply(v, a, b, iters=1, flow_init=fi,
+                                         test_mode=True)
+    )(variables, jnp.asarray(_nhwc(img1)), jnp.asarray(_nhwc(img2)),
+      0.5 * lowres_j)
+    np.testing.assert_allclose(
+        np.asarray(up_j2).transpose(0, 3, 1, 2), up_ref2.numpy(),
+        atol=atol, rtol=1e-3)
+
 
 # ---------------------------------------------------------------------------
 # UMT video ViT encoder vs the reference's own code (4-block ViT-B/16 with
