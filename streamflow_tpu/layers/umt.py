@@ -30,7 +30,7 @@ class _ViTBlock(nn.Module):
         b, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # qkv carries a bias like the reference's qkv_bias=True path
         # (core/encoders/umt.py:69-85: learned q_bias/v_bias, k bias pinned
         # to zero — a softmax no-op; here one zero-init (3C,) vector, with the
@@ -45,7 +45,7 @@ class _ViTBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(out)
         x = x + Mlp(c * self.mlp_ratio, c, dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x))
         return x
 
 
