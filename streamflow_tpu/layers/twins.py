@@ -195,7 +195,8 @@ class GlobalSubSampleAttn(nn.Module):
             feat = conv2d(c, self.sr_ratio, stride=self.sr_ratio,
                           padding="VALID", dtype=self.dtype, name="sr")(feat)
             kvin = feat.reshape(b, -1, c)
-            kvin = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(kvin)
+            kvin = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                name="norm")(kvin)
         else:
             kvin = x
         kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(kvin)
@@ -260,7 +261,8 @@ class TwinsBlock(nn.Module):
         if self.temporal == "attn":
             from streamflow_tpu.layers.temporal import TinyAttention
 
-            tok = to_time(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm0")(x))
+            tok = to_time(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name="norm0")(x))
             tattn = TinyAttention(self.dim, self.num_heads, dtype=self.dtype,
                                   name="temporal_attn")(tok)
             # zero-init projection gates the branch (reference temporal_fc)
@@ -277,11 +279,13 @@ class TwinsBlock(nn.Module):
             attn = LocallyGroupedAttn(
                 self.dim, self.num_heads, self.ws, impl=self.lga_impl,
                 dtype=self.dtype, name="attn")
-        x = x + attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), size)
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        x = x + attn(norm1(x), size)
 
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim,
                       fused=self.lga_impl == "pallas", dtype=self.dtype,
-                      name="mlp")(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x))
+                      name="mlp")(norm2(x))
         if self.temporal == "1dconv":
             # dirac-init temporal conv (identity at init) over the T axis
             def dirac(key, shape, dtype=jnp.float32):

@@ -44,8 +44,9 @@ class _ViTBlock(nn.Module):
         out = flash_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(out)
-        x = x + Mlp(c * self.mlp_ratio, c, dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x))
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        x = x + Mlp(c * self.mlp_ratio, c, dtype=self.dtype,
+                    name="mlp")(norm2(x))
         return x
 
 

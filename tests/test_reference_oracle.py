@@ -764,17 +764,39 @@ def _install_twins_stub():
             x = x + self.mlp(self.norm2(x))
             return x
 
+    class _TimmPatchEmbed(tnn.Module):
+        """timm twins PatchEmbed: strided conv + LayerNorm over tokens. Same
+        state-dict keys ('proj', 'norm') as the reference's replacement
+        PatchEmbed (twins_csc.py:14-34), which is why one converter table
+        serves both Twins_CSC and plain Twins."""
+
+        def __init__(self, patch_size, in_chans, embed_dim):
+            super().__init__()
+            self.patch_size = (patch_size, patch_size)
+            self.proj = tnn.Conv2d(in_chans, embed_dim,
+                                   kernel_size=patch_size, stride=patch_size)
+            self.norm = tnn.LayerNorm(embed_dim)
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+            x = self.proj(x).flatten(2).transpose(1, 2)
+            x = self.norm(x)
+            return x, (H // self.patch_size[0], W // self.patch_size[1])
+
     class _TwinsSVT(tnn.Module):
         """twins_svt_large skeleton: exactly the attributes / state-dict keys
-        the reference surgery touches (twins_csc.py:40-58). Stages 3-4 are
-        built with depth 1 (real model: 18, 2) — the surgery deletes them
-        before any use, so only the list lengths matter."""
+        the reference surgery touches (twins_csc.py:40-58, twins.py:21-27).
+        Stages 3-4 are built with depth 1 (real model: 18, 2) — both
+        reference encoders delete them before any use, so only the list
+        lengths matter."""
 
         def __init__(self):
             super().__init__()
             dims, heads = (128, 256, 512, 1024), (4, 8, 16, 32)
             srs, wss, depths = (8, 4, 2, 1), (7, 7, 7, 7), (2, 2, 1, 1)
-            self.patch_embeds = tnn.ModuleList()
+            self.patch_embeds = tnn.ModuleList([
+                _TimmPatchEmbed(ps, ic, d) for ps, ic, d in
+                zip((4, 2, 2, 2), (3,) + dims[:3], dims)])
             self.pos_drops = tnn.ModuleList(
                 [tnn.Dropout(0.0) for _ in depths])
             self.blocks = tnn.ModuleList([
@@ -935,5 +957,52 @@ def test_streamflow_full_model_matches_reference(ref, monkeypatch):
             atol=2e-3, rtol=1e-3)
     finally:
         sys.modules.pop("twins_csc", None)
+        for m in extra:
+            sys.modules.pop(m, None)
+
+
+@pytest.mark.slow
+def test_twins_plain_encoder_matches_reference(ref, monkeypatch):
+    """layers/twins.py::Twins (per-frame, T folded into batch) vs the
+    reference's own plain Twins (core/encoders/twins.py:15-52). The plain
+    encoder keeps timm's ORIGINAL PatchEmbeds, whose 'proj'/'norm' key names
+    equal the CSC replacement's — the same _twins converter table serves
+    both families verbatim."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.convert.torch_import import _apply_table, _twins
+    from streamflow_tpu.layers.twins import Twins
+
+    extra = _install_twins_stub()
+    sys.path[0:0] = ["/root/reference/core/encoders"]
+    try:
+        import twins as ref_twins_plain
+    finally:
+        sys.path.remove("/root/reference/core/encoders")
+    try:
+        torch.manual_seed(0)
+        enc = ref_twins_plain.Twins(pretrained=False).eval()
+        _randomize(enc, 31)
+
+        t, h, w = 2, 64, 96
+        g = torch.Generator().manual_seed(32)
+        x = torch.randn(1, t, 3, h, w, generator=g)
+        with torch.no_grad():
+            out_ref = enc(x)  # (B, T, 256, h/8, w/8)
+
+        sd = {f"fnet.{k}": v.numpy() for k, v in enc.state_dict().items()}
+        tree = {}
+        _apply_table(tree, sd, _twins("fnet", "fnet"), strict=True)
+
+        jmodel = Twins(dtype=None)
+        xj = jnp.asarray(x.permute(0, 1, 3, 4, 2).numpy())
+        out_j = jax.jit(jmodel.apply)({"params": tree["fnet"]}, xj)
+
+        np.testing.assert_allclose(
+            np.asarray(out_j).transpose(0, 1, 4, 2, 3), out_ref.numpy(),
+            atol=2e-4, rtol=1e-3)
+    finally:
+        sys.modules.pop("twins", None)
         for m in extra:
             sys.modules.pop(m, None)
