@@ -50,7 +50,11 @@ class ResidualBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        """``residual`` overrides the skip-connection source (reference
+        ResidualBlock3D routes the skip from the PRE-temporal-attention
+        input, core/extractor.py:269-273)."""
+        r = x if residual is None else residual
         y = conv2d(self.planes, 3, stride=self.stride, padding=1,
                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_Norm(self.norm_fn, self.planes, self.train,
@@ -58,12 +62,12 @@ class ResidualBlock(nn.Module):
         y = conv2d(self.planes, 3, padding=1, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(_Norm(self.norm_fn, self.planes, self.train,
                           dtype=self.dtype, name="norm2")(y))
-        if self.stride != 1 or x.shape[-1] != self.planes:
-            x = conv2d(self.planes, 1, stride=self.stride, padding="VALID",
-                       dtype=self.dtype, name="downsample")(x)
-            x = _Norm(self.norm_fn, self.planes, self.train,
-                      dtype=self.dtype, name="norm3")(x)
-        return nn.relu(x + y)
+        if self.stride != 1 or r.shape[-1] != self.planes:
+            r = conv2d(self.planes, 1, stride=self.stride, padding="VALID",
+                       dtype=self.dtype, name="downsample")(r)
+            r = _Norm(self.norm_fn, self.planes, self.train,
+                      dtype=self.dtype, name="norm3")(r)
+        return nn.relu(r + y)
 
 
 class BasicEncoder(nn.Module):
@@ -106,16 +110,19 @@ class TemporalResidualBlock(nn.Module):
 
         b, t, h, w, c = x.shape
         tok = x.transpose(0, 2, 3, 1, 4)               # (B, H, W, T, C)
-        tok = nn.LayerNorm(dtype=self.dtype, name="norm0")(tok)
+        tok = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm0")(tok)
         tok = TinyAttention(c, num_heads=4, zero_init=False,
                             dtype=self.dtype, name="temporal_attn")(tok)
         gate = nn.Dense(c, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros, dtype=self.dtype,
                         name="temporal_fc")(tok)
         y = x + gate.transpose(0, 3, 1, 2, 4)
+        # the skip connection bypasses the temporal hook (reference
+        # core/extractor.py:256-273: downsample/identity runs on the
+        # pre-temporal x, only the conv branch sees the attended tokens)
         y = ResidualBlock(self.planes, self.norm_fn, self.stride, self.train,
                           dtype=self.dtype, name="spatial")(
-            y.reshape(b * t, h, w, c))
+            y.reshape(b * t, h, w, c), residual=x.reshape(b * t, h, w, c))
         return y.reshape(b, t, *y.shape[1:])
 
 
