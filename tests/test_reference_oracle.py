@@ -1110,3 +1110,126 @@ def test_attn_basic_encoder_matches_reference(ref_raft):
                                f2_ref.numpy(), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(attn_j), attn_ref[:, 0].numpy(),
                                atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Temporal aggregate variants vs the reference's own gma.py (107-300). These
+# are experimental decoder hooks with zero-init gamma gates, so the existing
+# identity-at-init tests can't see their attention math; here they run with
+# random (non-zero) weights. No released checkpoints use them, so the
+# mapping rules live in-test.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_temporal_aggregates_match_reference(ref):
+    import jax
+    import jax.numpy as jnp
+
+    from streamflow_tpu.convert.torch_import import _apply_table
+    from streamflow_tpu.layers import gma as jgma
+
+    bt, f, c, h, w = 2, 2, 128, 8, 12
+    n = h * w
+    args = SimpleNamespace(no_temporal_project=False, T=f + 1)
+    g = torch.Generator().manual_seed(61)
+
+    def softmax_attn(*shape):
+        return torch.randn(*shape, generator=g).softmax(dim=-1)
+
+    fmap = torch.randn(bt, c, h, w, generator=g)
+    fmap_j = jnp.asarray(_nhwc(fmap))
+    attn4 = softmax_attn(bt, 4, n, n)
+    tattn4 = softmax_attn(bt, 4, n, n)
+    attn1 = softmax_attn(bt, 1, n, n)
+    tattn1 = softmax_attn(1, 1, n, n)
+    tattn1_b = softmax_attn(bt, 1, n, n)
+    attn_joint = softmax_attn(1, 4, f * n, f * n)
+
+    def convert(module, rules):
+        sd = {k: v.numpy() for k, v in module.state_dict().items()}
+        tree = {}
+        _apply_table(tree, sd, rules, strict=True)
+        return {"params": tree}
+
+    def check(out_j, out_ref):
+        np.testing.assert_allclose(
+            np.asarray(out_j).transpose(0, 3, 1, 2),
+            out_ref.detach().numpy(), atol=1e-5, rtol=1e-4)
+
+    # TemporalAggregate (gma.py:107-137)
+    torch.manual_seed(0)
+    m = ref.gma.TemporalAggregate(args, dim=c, heads=4, dim_head=128).eval()
+    _randomize(m, 62)
+    with torch.no_grad():
+        out_ref = m(tattn4, fmap)
+    v = convert(m, [("to_v/kernel", "to_v.weight", "conv"),
+                    ("temporal_project/kernel", "temporal_project.weight",
+                     "conv"),
+                    ("temporal_gamma", "temporal_gamma", "raw")])
+    out_j = jax.jit(jgma.TemporalAggregate(heads=4, dim_head=128).apply)(
+        v, jnp.asarray(tattn4.numpy()), fmap_j)
+    check(out_j, out_ref)
+
+    # SpatioTemporalAggregate (gma.py:140-191). NOTE: the reference class is
+    # only runnable when inner_dim == dim — its temporal_project is declared
+    # Conv2d(inner_dim, dim) but applied to a dim-channel tensor (:186-189),
+    # so any heads*dim_head != dim config crashes in the reference itself.
+    torch.manual_seed(0)
+    m = ref.gma.SpatioTemporalAggregate(args, dim=c, heads=1,
+                                        dim_head=c).eval()
+    _randomize(m, 63)
+    with torch.no_grad():
+        out_ref = m(attn1, tattn1_b, fmap)
+    v = convert(m, [("to_v/kernel", "to_v.weight", "conv"),
+                    ("temporal_project/kernel", "temporal_project.weight",
+                     "conv"),
+                    ("gamma", "gamma", "raw"),
+                    ("temporal_gamma", "temporal_gamma", "raw")])
+    out_j = jax.jit(
+        jgma.SpatioTemporalAggregate(heads=1, dim_head=c).apply)(
+        v, jnp.asarray(attn1.numpy()), jnp.asarray(tattn1_b.numpy()), fmap_j)
+    check(out_j, out_ref)
+
+    # TemporalAttention map (gma.py:195-212)
+    torch.manual_seed(0)
+    m = ref.gma.TemporalAttention(args, dim=c).eval()
+    _randomize(m, 64)
+    x5 = torch.randn(1, f, c, h, w, generator=g)
+    with torch.no_grad():
+        out_ref_map = m(x5)  # (1, 1, n, n)
+    v = convert(m, [("to_qk/kernel", "to_qk.weight", "conv")])
+    xj = jnp.asarray(x5.permute(0, 1, 3, 4, 2).numpy())
+    map_j = jax.jit(jgma.TemporalAttentionMap().apply)(v, xj)
+    np.testing.assert_allclose(np.asarray(map_j), out_ref_map.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+    # SpatioTemporalAggregate2 (gma.py:214-256): joint (H, T*W) token grid
+    torch.manual_seed(0)
+    m = ref.gma.SpatioTemporalAggregate2(args, dim=c, heads=4,
+                                         dim_head=128).eval()
+    _randomize(m, 65)
+    with torch.no_grad():
+        out_ref = m(attn_joint, None, fmap)
+    v = convert(m, [("to_v/kernel", "to_v.weight", "conv"),
+                    ("project/kernel", "project.weight", "conv"),
+                    ("gamma", "gamma", "raw")])
+    out_j = jax.jit(
+        jgma.SpatioTemporalAggregate2(num_frames=f, heads=4,
+                                      dim_head=128).apply)(
+        v, jnp.asarray(attn_joint.numpy()), fmap_j)
+    check(out_j, out_ref)
+
+    # TMMAggregate (gma.py:261-300): channel-concat temporal pass
+    torch.manual_seed(0)
+    m = ref.gma.TMMAggregate(args, dim=c, heads=1, dim_head=128).eval()
+    _randomize(m, 66)
+    with torch.no_grad():
+        out_ref = m(attn1, tattn1, fmap)
+    v = convert(m, [("to_v/kernel", "to_v.weight", "conv"),
+                    ("gamma", "gamma", "raw"),
+                    ("temporal_gamma", "temporal_gamma", "raw")])
+    out_j = jax.jit(
+        jgma.TMMAggregate(num_frames=f, heads=1, dim_head=128).apply)(
+        v, jnp.asarray(attn1.numpy()), jnp.asarray(tattn1.numpy()), fmap_j)
+    check(out_j, out_ref)
