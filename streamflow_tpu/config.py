@@ -89,9 +89,12 @@ class StreamFlowConfig:
     # "pallas" fuses window partition + qkv + softmax + proj into one
     # VMEM-resident kernel (ops/pallas/_lga_kernel.py) and switches the
     # Twins MLPs to the fused ffn_pair kernel; "xla" is the
-    # reshape/transpose composite. "auto" currently resolves to "xla" on
-    # every backend — the fused mode is opt-in until it is measured
-    # end-to-end on hardware (ROADMAP r3s3).
+    # reshape/transpose composite. "auto" resolves to "xla" on every
+    # backend: the fused kernel compiles only in interpret mode — the real
+    # Mosaic toolchain rejects its qkv 5-D head-split reshape
+    # ("infer-vector-layout: unsupported shape cast", hd=32 < one lane
+    # tile; measured r3s4, ROADMAP.md) — so "pallas" is debug-only until
+    # the kernel is restructured head-major.
     lga_impl: str = "auto"
 
     dropout: float = 0.0
