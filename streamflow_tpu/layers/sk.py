@@ -139,43 +139,31 @@ def _dw_banded(x, w, b):
     refinement loop needs no ``lax.cond`` layout shield and the weight
     gradient is a plain dot (no channel-padded dw-conv grad miscompile).
 
-    Formulation (contract over the padded height axis; kernel row ky lives
-    inside the band, kernel column kx is merged into the dot's N dim):
-
-        out[c, b*Wp + wp, kx*H + ho] = sum_hp x[b, hp, wp, c] * R[c, hp, kx*H+ho]
-        R[c, hp, kx*H + ho]          = w[hp - ho, kx, c]   (0 <= hp-ho < k)
-        y[b, ho, wo, c]              = sum_kx out[c, b*Wp + wo + kx, kx*H + ho]
-
     Cost model vs the direct form (B=3, H=55, W=128, C=384, k=15): direct is
     3.65 GFLOP on the VPU at XLA's in-context ~3.4 TFLOP/s (~1.07 ms); this
     form is 18.6 GFLOP on the MXU (~0.2-0.3 ms) but the banded output is
-    k-redundant (~270 MB bf16 write + read, ~0.7 ms at HBM rate). Predicted
-    ~parity on paper; measured e2e because the shield relayouts it removes
-    are not in the per-op model. x: (B,H,W,C); w: (k,k,C); b: (C,)."""
+    k-redundant (~270 MB bf16 write + read, ~0.7 ms at HBM rate). The
+    'banded_mxu' variant (ops/pallas/_banded_dw_kernel.py) fuses the combine
+    in VMEM and never materializes the redundant intermediate.
+    x: (B,H,W,C); w: (k,k,C); b: (C,)."""
+    from streamflow_tpu.ops.pallas._banded_dw_kernel import dw_banded_xla
+
+    return dw_banded_xla(x, w, b)
+
+
+def _dw_banded_mxu(x, w, b):
+    """banded matmul dw conv with the kx-combine fused in VMEM (Pallas);
+    falls back to the XLA banded composite off-TPU or when the per-channel
+    working set exceeds VMEM."""
+    from streamflow_tpu.ops.pallas import _banded_dw_kernel as K
+
     k = w.shape[0]
-    if k == 1:
-        return x * w[0, 0] + b
-    r = k // 2
-    bdim, h, wd, c = x.shape
-    hp, wp = h + 2 * r, wd + 2 * r
-    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
-    lhs = xp.transpose(3, 0, 2, 1).reshape(c, bdim * wp, hp)
-    d = jnp.arange(hp)[:, None] - jnp.arange(h)[None, :]  # (Hp, H) = ky
-    band = jnp.where(
-        ((d >= 0) & (d < k))[:, :, None, None],
-        w[jnp.clip(d, 0, k - 1)],  # (Hp, H, k, C)
-        0,
-    ).astype(x.dtype)
-    rhs = band.transpose(3, 0, 2, 1).reshape(c, hp, k * h)  # N = kx*H + ho
-    out = jax.lax.dot_general(
-        lhs, rhs, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=x.dtype,
-    ).reshape(c, bdim, wp, k, h)
-    y = None
-    for kx in range(k):
-        t = jax.lax.slice_in_dim(out, kx, kx + wd, axis=2)[:, :, :, kx]
-        y = t if y is None else y + t
-    return y.transpose(1, 3, 2, 0) + b  # (C,B,W,H) -> (B,H,W,C)
+    nb, h, wd, _ = x.shape
+    if (jax.default_backend() == "tpu" and k > 1
+            and K.vmem_estimate(nb, h, wd, k, x.dtype.itemsize)
+            < 64 * 2 ** 20):
+        return K.dw_banded_mxu(x, w, b)
+    return K.dw_banded_xla(x, w, b)
 
 
 class SKBlock(nn.Module):
@@ -208,7 +196,7 @@ class SKBlock(nn.Module):
         with both conv-free dw paths: 'pallas' (dw chain kernel) and
         'xla_cond' (cond-shielded XLA convs — the shield keeps the Mosaic
         FFN call from poisoning their layouts)."""
-        if (self.dw_impl != "pallas" and self.dw_impl != "banded"
+        if (self.dw_impl not in ("pallas", "banded", "banded_mxu")
                 and not self.dw_impl.startswith("xla_cond")):
             return False
         if jax.default_backend() != "tpu":
@@ -262,6 +250,26 @@ class SKBlock(nn.Module):
             for m in mods:
                 wdw, bdw = m(None, collect=True)
                 x = gelu(x + _dw_banded(x, wdw, bdw))
+        elif self.dw_impl == "banded_mxu":
+            from streamflow_tpu.ops.pallas import _banded_dw_kernel as BK
+
+            stages = [m(None, collect=True) for m in mods]
+            chain_ok = (
+                jax.default_backend() == "tpu"
+                and len(ks) >= 1 and ks[-1] > 1
+                and all(k == 1 for k in ks[:-1])
+                and BK.vmem_estimate(x.shape[0], x.shape[1], x.shape[2],
+                                     ks[-1], x.dtype.itemsize) < 64 * 2 ** 20
+            )
+            if chain_ok:
+                # whole dw stack in one kernel: k1 stages + banded-MXU conv
+                # + residual gelus fused (intermediates never leave VMEM)
+                x = BK.sk_chain_banded(
+                    x, tuple(w for w, _ in stages),
+                    tuple(b for _, b in stages), ks)
+            else:
+                for (wdw, bdw), kk in zip(stages, ks):
+                    x = gelu(x + _dw_banded_mxu(x, wdw, bdw))
         elif self.dw_impl.startswith("xla_cond"):
             # XLA's dw conv emitter, shielded from the Mosaic custom-call
             # layout disease (BASELINE.md r2 findings) by placing the whole

@@ -192,7 +192,8 @@ class SKUpdateBlockTAMv3(nn.Module):
             )(net_f))
 
         mh = MaskHead(self.embed_dim, self.ratio,
-                      as_dot=self.dw_impl in ("pallas", "shift")
+                      as_dot=self.dw_impl in ("pallas", "shift", "banded",
+                                              "banded_mxu")
                       or self.dw_impl.startswith("xla_cond"),
                       dtype=self.dtype,
                       name="mask")

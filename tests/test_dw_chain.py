@@ -89,7 +89,7 @@ def test_skblock_dispatch_param_compat():
 @pytest.mark.parametrize(
     "impl", ["shift", "xla_cond", "xla_cond_f32", "xla_cond_fence",
              "xla_cond_bfold", "xla_cond_cfold", "xla_cond_cfoldo",
-             "banded"])
+             "banded", "banded_mxu"])
 def test_skblock_alt_dw_matches_xla(impl):
     """Alternate dw implementations — 'shift' (k^2 statically-shifted FMA
     taps, conv-HLO-free), 'xla_cond' (XLA conv shielded inside a lax.cond
@@ -119,6 +119,136 @@ def test_skblock_alt_dw_matches_xla(impl):
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=2e-3)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((3, 20, 24, 128), 15),
+    ((1, 9, 16, 64), 7),
+    ((2, 33, 24, 96), 15),
+])
+def test_banded_mxu_kernel_matches_conv(shape, k):
+    """The VMEM-fused banded-MXU dw kernel (interpret mode on CPU) matches
+    the plain depthwise conv and the XLA banded composite."""
+    import jax.lax as lax
+
+    from streamflow_tpu.ops.pallas._banded_dw_kernel import (
+        _dw_banded_mxu_fwd,
+        dw_banded_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((k, k, shape[-1])), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((shape[-1],)), jnp.float32)
+
+    ref = lax.conv_general_dilated(
+        x, w[:, :, None, :], (1, 1), [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=shape[-1],
+    ) + b
+    np.testing.assert_allclose(np.asarray(dw_banded_xla(x, w, b)),
+                               np.asarray(ref), atol=2e-4, rtol=2e-4)
+    out = _dw_banded_mxu_fwd(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_banded_mxu_grad_matches_xla(monkeypatch):
+    """jax.grad through the real dw_banded_mxu custom_vjp (forward kernel in
+    interpret mode) matches autodiff of the XLA banded composite."""
+    import functools
+
+    from streamflow_tpu.ops.pallas import _banded_dw_kernel as K
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 10, 16, 64)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((7, 7, 64)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((64,)), jnp.float32)
+
+    monkeypatch.setattr(
+        K, "_dw_banded_mxu_fwd",
+        functools.partial(K._dw_banded_mxu_fwd, interpret=True))
+
+    f_ref = lambda *a: jnp.sum(K.dw_banded_xla(*a) ** 2)
+    f_k = lambda *a: jnp.sum(K.dw_banded_mxu(*a) ** 2)
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(x, w, b)
+    v_k, g_k = jax.value_and_grad(f_k, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_k),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4,
+                                   rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,ks", [
+    ((3, 20, 24, 128), (1, 15)),
+    ((2, 12, 16, 64), (1, 7)),
+    ((1, 9, 16, 64), (15,)),
+])
+def test_sk_chain_banded_kernel(shape, ks):
+    """The fused SK dw-chain kernel (k1 elementwise + banded MXU conv +
+    residual gelus, interpret mode) matches both the XLA banded composite
+    and the plain gelu(x + conv(x)) stack."""
+    import jax.lax as lax
+
+    from streamflow_tpu.layers.common import gelu
+    from streamflow_tpu.ops.pallas._banded_dw_kernel import (
+        _sk_chain_banded_fwd,
+        sk_chain_banded_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    ws = tuple(jnp.asarray(0.3 * rng.standard_normal((k, k, shape[-1])),
+                           jnp.float32) for k in ks)
+    bs = tuple(jnp.asarray(0.1 * rng.standard_normal((shape[-1],)),
+                           jnp.float32) for k in ks)
+
+    ref = x
+    for w, b, k in zip(ws, bs, ks):
+        y = lax.conv_general_dilated(
+            ref, w[:, :, None, :], (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=shape[-1],
+        ) + b
+        ref = gelu(ref + y)
+
+    comp = sk_chain_banded_xla(x, ws, bs, ks)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+    out = _sk_chain_banded_fwd(x, ws, bs, ks, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_sk_chain_banded_grad(monkeypatch):
+    """jax.grad through sk_chain_banded's custom_vjp (interpret forward)
+    matches autodiff of the XLA banded composite."""
+    import functools
+
+    from streamflow_tpu.ops.pallas import _banded_dw_kernel as K
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 10, 16, 64)), jnp.float32)
+    ks = (1, 7)
+    ws = tuple(jnp.asarray(0.3 * rng.standard_normal((k, k, 64)), jnp.float32)
+               for k in ks)
+    bs = tuple(jnp.asarray(0.1 * rng.standard_normal((64,)), jnp.float32)
+               for k in ks)
+
+    monkeypatch.setattr(
+        K, "_sk_chain_banded_fwd",
+        functools.partial(K._sk_chain_banded_fwd, interpret=True))
+
+    f_ref = lambda *a: jnp.sum(K.sk_chain_banded_xla(*a, ks) ** 2)
+    f_k = lambda *a: jnp.sum(K.sk_chain_banded(*a, ks) ** 2)
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(x, ws, bs)
+    v_k, g_k = jax.value_and_grad(f_k, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_k),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4,
+                                   rtol=1e-4)
 
 
 def test_conv3x3_as_dot_matches_nn_conv():
