@@ -196,7 +196,8 @@ class SKBlock(nn.Module):
         with both conv-free dw paths: 'pallas' (dw chain kernel) and
         'xla_cond' (cond-shielded XLA convs — the shield keeps the Mosaic
         FFN call from poisoning their layouts)."""
-        if (self.dw_impl not in ("pallas", "banded", "banded_mxu")
+        if (self.dw_impl not in ("pallas", "banded", "banded_mxu",
+                                 "banded_chain")
                 and not self.dw_impl.startswith("xla_cond")):
             return False
         if jax.default_backend() != "tpu":
@@ -250,20 +251,24 @@ class SKBlock(nn.Module):
             for m in mods:
                 wdw, bdw = m(None, collect=True)
                 x = gelu(x + _dw_banded(x, wdw, bdw))
-        elif self.dw_impl == "banded_mxu":
+        elif self.dw_impl in ("banded_mxu", "banded_chain"):
             from streamflow_tpu.ops.pallas import _banded_dw_kernel as BK
 
             stages = [m(None, collect=True) for m in mods]
+            # 'banded_chain': the whole dw stack in one kernel (k1 stages +
+            # banded conv + residual gelus fused). Measured 174.4 vs 170.2
+            # ms/clip for the per-conv kernels at the benchmark shape — the
+            # masked-halo elementwise work in the transposed domain outweighs
+            # the fused-gelu savings; kept as a re-check knob.
             chain_ok = (
-                jax.default_backend() == "tpu"
+                self.dw_impl == "banded_chain"
+                and jax.default_backend() == "tpu"
                 and len(ks) >= 1 and ks[-1] > 1
                 and all(k == 1 for k in ks[:-1])
                 and BK.vmem_estimate(x.shape[0], x.shape[1], x.shape[2],
                                      ks[-1], x.dtype.itemsize) < 64 * 2 ** 20
             )
             if chain_ok:
-                # whole dw stack in one kernel: k1 stages + banded-MXU conv
-                # + residual gelus fused (intermediates never leave VMEM)
                 x = BK.sk_chain_banded(
                     x, tuple(w for w, _ in stages),
                     tuple(b for _, b in stages), ks)

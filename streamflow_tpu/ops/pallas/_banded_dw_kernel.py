@@ -171,11 +171,8 @@ dw_banded_mxu.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _erf_f32(x):
-    return jax.lax.erf(x)
-
-
 def _gelu_f32(x):
+    from streamflow_tpu.ops.pallas._dw_conv_kernel import _erf_f32
     return x * 0.5 * (1.0 + _erf_f32(x * (1.0 / math.sqrt(2.0))))
 
 
@@ -205,14 +202,14 @@ def _chain_kernel(lhs_ref, w1_ref, b1_ref, rhs_ref, bn_ref, o_ref, *,
         wpos = jax.lax.rem(ri, wp)
         halo = ((wpos < r) | (wpos >= r + wd) | (ci < r) | (ci >= r + h))
         for i in range(n1):
-            y = _gelu_f32(x0 + x0 * w1_ref[0, i] + b1_ref[0, i])
+            y = _gelu_f32(x0 + x0 * w1_ref[0, 0, i] + b1_ref[0, 0, i])
             x0 = jnp.where(halo, 0.0, y)
     xm = x0.astype(lhs_ref.dtype)
     out = jax.lax.dot_general(
         xm, rhs_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # (rows, k*H)
-    bn = bn_ref[0, 0]
+    bn = bn_ref[0, 0, 0]
     for bi in range(nb):
         acc = None
         for kx in range(k):
@@ -242,7 +239,9 @@ def _sk_chain_banded_fwd(x, ws, bs, ks, interpret: bool = False):
     else:
         w1 = jnp.zeros((c, 1), x.dtype)
         b1 = jnp.zeros((c, 1), x.dtype)
-    bn = bs[-1].reshape(c, 1).astype(jnp.float32)
+    w1 = w1.reshape(c, 1, max(n1, 1))
+    b1 = b1.reshape(c, 1, max(n1, 1))
+    bn = bs[-1].reshape(c, 1, 1).astype(jnp.float32)
     y = pl.pallas_call(
         functools.partial(_chain_kernel, nb=nb, wd=wd, wp=wp, h=h, k=k, r=r,
                           n1=n1),
@@ -250,10 +249,13 @@ def _sk_chain_banded_fwd(x, ws, bs, ks, interpret: bool = False):
         grid=(c,),
         in_specs=[
             pl.BlockSpec((1, nb * wp, hp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, max(n1, 1)), lambda i: (i, 0)),
-            pl.BlockSpec((1, max(n1, 1)), lambda i: (i, 0)),
+            # per-channel scalars shaped (C, 1, n): the block's trailing
+            # dims equal the array's, which Mosaic accepts for sub-(8,128)
+            # blocks
+            pl.BlockSpec((1, 1, max(n1, 1)), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, max(n1, 1)), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, hp, k * h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb * wd, h), lambda i: (i, 0, 0)),
         compiler_params=pltpu.CompilerParams(

@@ -89,7 +89,7 @@ def test_skblock_dispatch_param_compat():
 @pytest.mark.parametrize(
     "impl", ["shift", "xla_cond", "xla_cond_f32", "xla_cond_fence",
              "xla_cond_bfold", "xla_cond_cfold", "xla_cond_cfoldo",
-             "banded", "banded_mxu"])
+             "banded", "banded_mxu", "banded_chain"])
 def test_skblock_alt_dw_matches_xla(impl):
     """Alternate dw implementations — 'shift' (k^2 statically-shifted FMA
     taps, conv-HLO-free), 'xla_cond' (XLA conv shielded inside a lax.cond
