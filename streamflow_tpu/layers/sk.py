@@ -166,6 +166,23 @@ def _dw_banded_mxu(x, w, b):
     return K.dw_banded_xla(x, w, b)
 
 
+def _dw_banded_mxu_t(x, w, b):
+    """'banded_mxu_t': banded matmul dw conv with the C-minor<->C-major
+    layout transposes ALSO fused in VMEM (natural NHWC in/out — no XLA-side
+    transpose HBM round trip); falls back to the XLA banded composite
+    off-TPU, for C not a multiple of 128, or when the channel-block working
+    set exceeds VMEM."""
+    from streamflow_tpu.ops.pallas import _banded_dw_kernel as K
+
+    k = w.shape[0]
+    nb, h, wd, c = x.shape
+    if (jax.default_backend() == "tpu" and k > 1 and c % 128 == 0
+            and K.vmem_estimate_t(h, wd, k, 128, x.dtype.itemsize)
+            < 96 * 2 ** 20):
+        return K.dw_banded_mxu_t(x, w, b)
+    return K.dw_banded_xla(x, w, b)
+
+
 class SKBlock(nn.Module):
     out_dim: int
     k_conv: Sequence[int] = (1, 15)
@@ -197,7 +214,7 @@ class SKBlock(nn.Module):
         'xla_cond' (cond-shielded XLA convs — the shield keeps the Mosaic
         FFN call from poisoning their layouts)."""
         if (self.dw_impl not in ("pallas", "banded", "banded_mxu",
-                                 "banded_chain")
+                                 "banded_mxu_t", "banded_chain")
                 and not self.dw_impl.startswith("xla_cond")):
             return False
         if jax.default_backend() != "tpu":
@@ -251,6 +268,10 @@ class SKBlock(nn.Module):
             for m in mods:
                 wdw, bdw = m(None, collect=True)
                 x = gelu(x + _dw_banded(x, wdw, bdw))
+        elif self.dw_impl == "banded_mxu_t":
+            for m in mods:
+                wdw, bdw = m(None, collect=True)
+                x = gelu(x + _dw_banded_mxu_t(x, wdw, bdw))
         elif self.dw_impl in ("banded_mxu", "banded_chain"):
             from streamflow_tpu.ops.pallas import _banded_dw_kernel as BK
 

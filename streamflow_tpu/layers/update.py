@@ -193,7 +193,8 @@ class SKUpdateBlockTAMv3(nn.Module):
 
         mh = MaskHead(self.embed_dim, self.ratio,
                       as_dot=self.dw_impl in ("pallas", "shift", "banded",
-                                              "banded_mxu", "banded_chain")
+                                              "banded_mxu", "banded_mxu_t",
+                                              "banded_chain")
                       or self.dw_impl.startswith("xla_cond"),
                       dtype=self.dtype,
                       name="mask")

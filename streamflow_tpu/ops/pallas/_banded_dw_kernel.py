@@ -160,6 +160,103 @@ dw_banded_mxu.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# 'banded_mxu_t': the same banded matmul with the C-minor<->C-major operand
+# transposes moved INTO the kernel (VMEM), so the NHWC activations never take
+# the extra HBM round trip that the XLA-side transposes of 'banded_mxu' cost
+# (~15 ms/clip of the 23.6 ms data-formatting group at the benchmark shape,
+# BASELINE.md r3s5). The kernel reads a natural-layout (1, Hp, Wp, cb)
+# channel-block, Mosaic-transposes it to (cb, Wp, Hp) in VMEM scratch, runs
+# one (Wp, Hp) @ (Hp, k*H) MXU matmul per channel with the kx-combine fused,
+# and transposes the (cb, W, H) result back to natural (1, H, W, cb) on the
+# way out. Grid = (C/cb, B) with B minor so the per-block banded weight RHS
+# stays resident across batch steps.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(x_ref, rhs_ref, o_ref, xt_ref, yt_ref, *, wd, wp, h, k, cb):
+    # (Hp, Wp, cb) natural -> (cb, Wp, Hp) channel-major, in VMEM
+    xt_ref[:] = jnp.transpose(x_ref[0], (2, 1, 0))
+
+    def body(c, _):
+        lhs = xt_ref[pl.ds(c, 1)][0]          # (Wp, Hp)
+        out = jax.lax.dot_general(
+            lhs, rhs_ref[pl.ds(c, 1)][0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                     # (Wp, k*H)
+        acc = None
+        for kx in range(k):
+            sl = jax.lax.slice(out, (kx, kx * h), (kx + wd, (kx + 1) * h))
+            acc = sl if acc is None else acc + sl
+        yt_ref[pl.ds(c, 1)] = acc.astype(yt_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, cb, body, 0)
+    o_ref[0] = jnp.transpose(yt_ref[:], (2, 1, 0))  # (cb, W, H) -> (H, W, cb)
+
+
+def vmem_estimate_t(h, wd, k, cb, itemsize=2):
+    r = k // 2
+    hp, wp = h + 2 * r, wd + 2 * r
+    return (
+        2 * hp * wp * cb * itemsize           # natural x block (dbl-buffered)
+        + cb * wp * hp * itemsize             # xt scratch
+        + 2 * cb * hp * k * h * itemsize      # rhs (dbl-buffered)
+        + cb * wd * h * itemsize              # yt scratch
+        + 2 * h * wd * cb * itemsize          # out block (dbl-buffered)
+        + wp * k * h * 4                      # per-channel f32 dot result
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dw_banded_mxu_t_fwd(x, w, b, interpret: bool = False):
+    k = w.shape[0]
+    if k == 1:
+        return x * w[0, 0] + b
+    r = k // 2
+    nb, h, wd, c = x.shape
+    hp, wp = h + 2 * r, wd + 2 * r
+    cb = 128
+    assert c % cb == 0, c
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    rhs = band_rhs(w, h, x.dtype)             # (C, Hp, k*H)
+    y = pl.pallas_call(
+        functools.partial(_kernel_t, wd=wd, wp=wp, h=h, k=k, cb=cb),
+        out_shape=jax.ShapeDtypeStruct((nb, h, wd, c), x.dtype),
+        grid=(c // cb, nb),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, cb), lambda i, j: (j, 0, 0, i)),
+            pl.BlockSpec((cb, hp, k * h), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, wd, cb), lambda i, j: (j, 0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((cb, wp, hp), x.dtype),
+            pltpu.VMEM((cb, wd, h), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(xp, rhs)
+    return y + b
+
+
+@jax.custom_vjp
+def dw_banded_mxu_t(x, w, b):
+    """Banded-MXU depthwise conv with the layout transposes fused in VMEM
+    (natural NHWC in/out); backward recomputes through the XLA banded
+    composite, as dw_banded_mxu."""
+    return _dw_banded_mxu_t_fwd(x, w, b)
+
+
+def _fwd_t(x, w, b):
+    return dw_banded_mxu_t(x, w, b), (x, w, b)
+
+
+dw_banded_mxu_t.defvjp(_fwd_t, _bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused SK dw chain: the whole depthwise stack of one SKBlock —
 #   for k in k_conv: x = gelu(x + dw_k(x) + b_k)
 # — in ONE kernel. k==1 stages run as masked elementwise VPU ops in the

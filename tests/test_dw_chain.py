@@ -265,3 +265,59 @@ def test_conv3x3_as_dot_matches_nn_conv():
     y_dot = dot_mod.apply(p, x)
     np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 9, 12, 128), 5),
+    ((1, 7, 10, 256), 3),
+    ((2, 16, 11, 128), 7),
+])
+def test_banded_mxu_t_kernel_matches_conv(shape, k):
+    """The transpose-fused banded-MXU kernel (natural NHWC in/out, interpret
+    mode on CPU) matches the plain depthwise conv."""
+    import jax.lax as lax
+
+    from streamflow_tpu.ops.pallas._banded_dw_kernel import (
+        _dw_banded_mxu_t_fwd,
+    )
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((k, k, shape[-1])), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((shape[-1],)), jnp.float32)
+
+    ref = lax.conv_general_dilated(
+        x, w[:, :, None, :], (1, 1), [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=shape[-1],
+    ) + b
+    out = _dw_banded_mxu_t_fwd(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_banded_mxu_t_grad_matches_xla(monkeypatch):
+    """jax.grad through the real dw_banded_mxu_t custom_vjp (forward kernel
+    in interpret mode) matches autodiff of the XLA banded composite."""
+    import functools
+
+    from streamflow_tpu.ops.pallas import _banded_dw_kernel as K
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((1, 10, 16, 128)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((7, 7, 128)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((128,)), jnp.float32)
+
+    monkeypatch.setattr(
+        K, "_dw_banded_mxu_t_fwd",
+        functools.partial(K._dw_banded_mxu_t_fwd, interpret=True))
+
+    f_ref = lambda *a: jnp.sum(K.dw_banded_xla(*a) ** 2)
+    f_k = lambda *a: jnp.sum(K.dw_banded_mxu_t(*a) ** 2)
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(x, w, b)
+    v_k, g_k = jax.value_and_grad(f_k, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_k),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4,
+                                   rtol=1e-4)
