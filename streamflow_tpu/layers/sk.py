@@ -178,7 +178,7 @@ def _dw_banded_mxu_t(x, w, b):
     nb, h, wd, c = x.shape
     if (jax.default_backend() == "tpu" and k > 1 and c % 128 == 0
             and K.vmem_estimate_t(h, wd, k, 128, x.dtype.itemsize)
-            < 96 * 2 ** 20):
+            < 72 * 2 ** 20):
         return K.dw_banded_mxu_t(x, w, b)
     return K.dw_banded_xla(x, w, b)
 
@@ -188,7 +188,13 @@ class SKBlock(nn.Module):
     k_conv: Sequence[int] = (1, 15)
     dtype: Optional[jnp.dtype] = None
     align: bool = True
-    dw_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' | 'shift'
+    # 'auto' (model-level resolve) | 'pallas' (fused dw-chain kernel) |
+    # 'xla' | 'xla_cond[_f32|_fence|_bfold|_cfold|_cfoldo]' (cond-shielded
+    # XLA convs; inference default) | 'shift' (tap expansion; debug only) |
+    # 'banded' (XLA banded matmul) | 'banded_mxu' (Pallas, kx-combine fused
+    # in VMEM; training default candidate) | 'banded_mxu_t' (+ layout
+    # transposes fused in VMEM) | 'banded_chain' (whole dw stack one kernel)
+    dw_impl: str = "auto"
 
     def _pallas_ok(self, x, ks) -> bool:
         if self.dw_impl != "pallas":

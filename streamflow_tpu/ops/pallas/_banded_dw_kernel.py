@@ -199,11 +199,12 @@ def vmem_estimate_t(h, wd, k, cb, itemsize=2):
     hp, wp = h + 2 * r, wd + 2 * r
     return (
         2 * hp * wp * cb * itemsize           # natural x block (dbl-buffered)
-        + cb * wp * hp * itemsize             # xt scratch
+        + 2 * cb * wp * hp * itemsize         # xt scratch + transpose temp
         + 2 * cb * hp * k * h * itemsize      # rhs (dbl-buffered)
-        + cb * wd * h * itemsize              # yt scratch
+        + 2 * cb * wd * h * itemsize          # yt scratch + transpose temp
         + 2 * h * wd * cb * itemsize          # out block (dbl-buffered)
         + wp * k * h * 4                      # per-channel f32 dot result
+        + wd * h * 4                          # per-channel f32 kx accumulator
     )
 
 
