@@ -189,11 +189,14 @@ class SKBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     align: bool = True
     # 'auto' (model-level resolve) | 'pallas' (fused dw-chain kernel) |
-    # 'xla' | 'xla_cond[_f32|_fence|_bfold|_cfold|_cfoldo]' (cond-shielded
-    # XLA convs; inference default) | 'shift' (tap expansion; debug only) |
-    # 'banded' (XLA banded matmul) | 'banded_mxu' (Pallas, kx-combine fused
-    # in VMEM; training default candidate) | 'banded_mxu_t' (+ layout
-    # transposes fused in VMEM) | 'banded_chain' (whole dw stack one kernel)
+    # 'xla' | 'xla_cond' (cond-shielded XLA conv, elementwise edge-fused
+    # into the FFN kernels; inference default) | 'xla_cond_sep' (shielded
+    # chain with separate elementwise fusions — the pre-r4 layout) |
+    # 'xla_cond[_f32|_fence|_bfold|_cfold|_cfoldo]' (shielded-chain
+    # experiment knobs) | 'shift' (tap expansion; debug only) | 'banded'
+    # (XLA banded matmul) | 'banded_mxu' (Pallas, kx-combine fused in VMEM;
+    # training default candidate) | 'banded_mxu_t' (+ layout transposes
+    # fused in VMEM) | 'banded_chain' (whole dw stack one kernel)
     dw_impl: str = "auto"
 
     def _pallas_ok(self, x, ks) -> bool:
@@ -246,9 +249,56 @@ class SKBlock(nn.Module):
 
         ks = tuple(self.k_conv)
         fused = self._ffn_pallas_ok(x)
+        # Edge-fused layout (default on the xla_cond path): the dw chain's
+        # elementwise stages ride the FFN kernels — the k==1 stage as an
+        # epilogue of the first pair, the conv bias + residual gelu as a
+        # prologue of the pw+second-pair kernel — so the cond-shielded
+        # branch is PURE convolution. Measured r3 trace: the standalone
+        # erf-gelu loop fusions between the kernels and the branch cost
+        # ~23 ms/clip at the benchmark shape. 'xla_cond_sep' keeps the
+        # elementwise stages as separate XLA fusions (A/B knob).
+        edge_fused = (fused and self.dw_impl == "xla_cond"
+                      and len(ks) == 2 and ks[0] == 1 and ks[1] > 1)
 
         m1 = conv("ffn1_in", c_in, hidden, cp, hp)
         m2 = conv("ffn1_out", hidden, c_in, hp, cp)
+        mods = [conv(f"dw{i}_k{k}", c_in, c_in, cp, cp, k=k, dw=True)
+                for i, k in enumerate(ks)]
+        if edge_fused:
+            from streamflow_tpu.ops.pallas._ffn_kernel import (
+                dwres_pw_ffn_pair, ffn_pair_k1)
+
+            w1, b1 = m1(None, collect=True)
+            w2, b2 = m2(None, collect=True)
+            (wk1, bk1), (wdw, bdw) = [m(None, collect=True) for m in mods]
+            x = ffn_pair_k1(x, w1, b1, w2, b2, wk1[0, 0], bk1, True)
+            pred = jnp.isfinite(
+                jax.lax.stop_gradient(jax.lax.slice(
+                    x, (0,) * x.ndim, (1,) * x.ndim)).reshape(())
+            )
+            kk = ks[-1]
+
+            def _conv_only(vin):
+                return jax.lax.conv_general_dilated(
+                    vin, wdw[:, :, None, :], (1, 1),
+                    [(kk // 2, kk // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=vin.shape[-1],
+                    preferred_element_type=vin.dtype,
+                )
+
+            y = jax.lax.cond(pred, _conv_only,
+                             lambda v: _conv_only(v) * 1.0, x)
+            mpw = conv("pw", c_in, c_in, cp, cp)
+            m3 = conv("ffn2_in", c_in, hidden, cp, hp)
+            m4 = conv("ffn2_out", hidden, self.out_dim, hp, op)
+            wp, bp = mpw(None, collect=True)
+            w3, b3 = m3(None, collect=True)
+            w4, b4 = m4(None, collect=True)
+            x = dwres_pw_ffn_pair(x, y, bdw, wp, bp, w3, b3, w4, b4, False)
+            if op != self.out_dim:
+                x = x[..., : self.out_dim]
+            return x
         if fused:
             from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
 
@@ -258,8 +308,6 @@ class SKBlock(nn.Module):
         else:
             h = gelu(m1(x))
             x = gelu(x + m2(h))
-        mods = [conv(f"dw{i}_k{k}", c_in, c_in, cp, cp, k=k, dw=True)
-                for i, k in enumerate(ks)]
         if self._pallas_ok(x, ks):
             from streamflow_tpu.ops.pallas._dw_conv_kernel import dw_chain
 

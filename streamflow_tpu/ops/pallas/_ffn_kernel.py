@@ -33,9 +33,21 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf_f32(x * (1.0 / math.sqrt(2.0))))
 
 
-def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None):
-    """Reference XLA composite (exact math of the kernel)."""
+def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
+                 kw=None, kb=None, yres=None, db=None):
+    """Reference XLA composite (exact math of the kernel).
+
+    Optional edge stages (the SK-block dw-chain elementwise work folded into
+    the FFN kernels so the cond-shielded branch stays pure convolution):
+      yres/db: residual-gelu prologue  x = gelu(x + yres + db)   (the k>1 dw
+               conv's bias + residual gelu, applied before the pw stage)
+      kw/kb:   k==1 dw-stage epilogue  y = gelu(y + y*kw + kb)   (after the
+               residual pair)
+    """
     dt = x.dtype
+    if yres is not None:
+        x = _gelu(x.astype(jnp.float32) + yres.astype(jnp.float32)
+                  + db.astype(jnp.float32)).astype(dt)
     if wp is not None:
         p = jax.lax.dot_general(
             x, wp.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
@@ -50,11 +62,16 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None):
     y = y + b2.astype(jnp.float32)
     if residual:
         y = _gelu(x.astype(jnp.float32) + y)
+    if kw is not None:
+        y = y.astype(jnp.float32)
+        y = _gelu(y + y * kw.astype(jnp.float32) + kb.astype(jnp.float32))
     return y.astype(dt)
 
 
-def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual):
-    """Shared FFN-pair math: o = [gelu(x +)] gelu(x@W1+b1)@W2+b2."""
+def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
+               k1_refs=None):
+    """Shared FFN-pair math: o = [gelu(x +)] gelu(x@W1+b1)@W2+b2,
+    optionally followed by the k==1 dw-stage epilogue gelu(y + y*kw + kb)."""
     dt = x.dtype
     h = jax.lax.dot_general(
         x, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
@@ -66,11 +83,24 @@ def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual):
     y = y + b2_ref[...].astype(jnp.float32)
     if residual:
         y = _gelu(x.astype(jnp.float32) + y)
+    if k1_refs is not None:
+        kw_ref, kb_ref = k1_refs
+        y = _gelu(y + y * kw_ref[...].astype(jnp.float32)
+                  + kb_ref[...].astype(jnp.float32))
     o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
     _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
+
+
+def _kernel_k1(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, kw_ref, kb_ref, o_ref,
+               *, residual):
+    """FFN pair + the SK dw chain's k==1 elementwise stage as an epilogue:
+    the erf-gelu residual runs on VMEM-resident data instead of as a
+    standalone HBM pass between this kernel and the dw conv."""
+    _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
+               k1_refs=(kw_ref, kb_ref))
 
 
 def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
@@ -88,12 +118,46 @@ def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
 
 
+def _kernel_dwres_pw(x_ref, y_ref, db_ref, wp_ref, bp_ref, w1_ref, b1_ref,
+                     w2_ref, b2_ref, o_ref, *, residual):
+    """Residual-gelu prologue (the k>1 dw conv's bias + residual gelu) +
+    pointwise stage + FFN pair: x' = gelu(x + y + db), then as _kernel_pw.
+    Lets the cond-shielded dw branch return the RAW conv result — no
+    elementwise work left inside the branch."""
+    x = x_ref[...]
+    dt = x.dtype
+    x = _gelu(x.astype(jnp.float32) + y_ref[...].astype(jnp.float32)
+              + db_ref[...].astype(jnp.float32)).astype(dt)
+    p = jax.lax.dot_general(
+        x, wp_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x = _gelu(x.astype(jnp.float32) + p
+              + bp_ref[...].astype(jnp.float32)).astype(dt)
+    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest row-block <= ~target that divides n (16-row aligned, the bf16
+    sublane tile) — a dividing block needs NO pad of x / slice of y around
+    the kernel (measured ~3.5 ms/clip of %pad + %slice at the benchmark
+    shape, r4 trace). Falls back to `target` (with padding) when n has no
+    16-aligned divisor >= 256."""
+    for b in range(min(n, target + 32) // 16 * 16, 255, -16):
+        if n % b == 0:
+            return b
+    return target
+
+
 @functools.partial(jax.jit,
                    static_argnames=("residual", "block_n", "interpret"))
-def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, residual=True,
+def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
+                  yres=None, db=None, residual=True,
                   block_n: int = 1024, interpret: bool = False):
-    """x: (..., C); w1 (C, Ch); w2 (Ch, Co); optional pw pre-stage wp (C, C).
-    residual requires Co == C."""
+    """x: (..., C); w1 (C, Ch); w2 (Ch, Co); optional pw pre-stage wp (C, C);
+    optional k1 epilogue (kw, kb) (Co,); optional residual-gelu prologue
+    (yres (..., C), db (C,)). residual requires Co == C. ``block_n`` is a
+    target: the actual row block is the nearest dividing block (no padding)
+    when one exists."""
     orig_shape = x.shape
     c = x.shape[-1]
     ch = w1.shape[1]
@@ -101,42 +165,62 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, residual=True,
     assert not residual or co == c
     n = math.prod(orig_shape[:-1])
     x2 = x.reshape(n, c)
+    block_n = _pick_block(n, block_n)
     pad = (-n) % block_n
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     nt = n + pad
 
-    if wp is None:
-        kern = functools.partial(_kernel, residual=residual)
-        extra = []
-        extra_specs = []
-    else:
+    row_spec = pl.BlockSpec((block_n, c), lambda i: (i, 0))
+    inputs = [x2]
+    in_specs = [row_spec]
+    if yres is not None:
+        y2 = yres.reshape(n, c)
+        if pad:
+            y2 = jnp.pad(y2, ((0, pad), (0, 0)))
+        inputs += [y2, db.reshape(1, c)]
+        in_specs += [row_spec, pl.BlockSpec((1, c), lambda i: (0, 0))]
+        assert wp is not None, "prologue is only used with the pw stage"
+        kern = functools.partial(_kernel_dwres_pw, residual=residual)
+    elif wp is not None:
         kern = functools.partial(_kernel_pw, residual=residual)
-        extra = [wp, bp.reshape(1, c)]
-        extra_specs = [
+    elif kw is not None:
+        kern = functools.partial(_kernel_k1, residual=residual)
+    else:
+        kern = functools.partial(_kernel, residual=residual)
+    if wp is not None:
+        inputs += [wp, bp.reshape(1, c)]
+        in_specs += [
             pl.BlockSpec((c, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ]
+    inputs += [w1, b1.reshape(1, ch), w2, b2.reshape(1, co)]
+    in_specs += [
+        pl.BlockSpec((c, ch), lambda i: (0, 0)),
+        pl.BlockSpec((1, ch), lambda i: (0, 0)),
+        pl.BlockSpec((ch, co), lambda i: (0, 0)),
+        pl.BlockSpec((1, co), lambda i: (0, 0)),
+    ]
+    if kw is not None:
+        assert wp is None and yres is None, "k1 epilogue is pair-only"
+        inputs += [kw.reshape(1, co), kb.reshape(1, co)]
+        in_specs += [
+            pl.BlockSpec((1, co), lambda i: (0, 0)),
+            pl.BlockSpec((1, co), lambda i: (0, 0)),
         ]
 
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nt, co), x.dtype),
         grid=(nt // block_n,),
-        in_specs=[pl.BlockSpec((block_n, c), lambda i: (i, 0))]
-        + extra_specs
-        + [
-            pl.BlockSpec((c, ch), lambda i: (0, 0)),
-            pl.BlockSpec((1, ch), lambda i: (0, 0)),
-            pl.BlockSpec((ch, co), lambda i: (0, 0)),
-            pl.BlockSpec((1, co), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_n, co), lambda i: (i, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(x2, *extra, w1, b1.reshape(1, ch), w2, b2.reshape(1, co))
+    )(*inputs)
     return out[:n].reshape(*orig_shape[:-1], co)
 
 
@@ -183,3 +267,58 @@ def _pw_bwd(residual, res, g):
 
 
 pw_ffn_pair.defvjp(_pw_fwd, _pw_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual=True):
+    """FFN pair + the SK dw chain's k==1 stage as an in-kernel epilogue
+    (y = gelu(y + y*kw + kb)); backward recomputes through the XLA
+    composite. Lets the subsequent cond-shielded dw conv branch start from
+    this kernel's output with no standalone elementwise pass between."""
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, kw=kw, kb=kb, residual=residual)
+
+
+def _k1_fwd(x, w1, b1, w2, b2, kw, kb, residual):
+    return (ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual),
+            (x, w1, b1, w2, b2, kw, kb))
+
+
+def _k1_bwd(residual, res, g):
+    x, w1, b1, w2, b2, kw, kb = res
+    _, vjp = jax.vjp(
+        lambda xx, *a: ffn_pair_xla(xx, *a[:4], residual=residual,
+                                    kw=a[4], kb=a[5]),
+        x, w1, b1, w2, b2, kw, kb)
+    return vjp(g)
+
+
+ffn_pair_k1.defvjp(_k1_fwd, _k1_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual=False):
+    """Residual-gelu prologue over the dw conv's raw result
+    (x' = gelu(x + y + db)) + pointwise stage + FFN pair in one kernel;
+    backward recomputes through the XLA composite. With ffn_pair_k1 this
+    moves ALL of the SK dw chain's elementwise work (k1 stage + both
+    residual erf-gelus) into the MXU-bound FFN kernels, leaving the
+    cond-shielded branch pure convolution."""
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, yres=y, db=db,
+                         residual=residual)
+
+
+def _dwres_fwd(x, y, db, wp, bp, w1, b1, w2, b2, residual):
+    return (dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual),
+            (x, y, db, wp, bp, w1, b1, w2, b2))
+
+
+def _dwres_bwd(residual, res, g):
+    x, y, db, wp, bp, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda xx, yy, dd, pp, pb, *a: ffn_pair_xla(
+            xx, *a, residual=residual, wp=pp, bp=pb, yres=yy, db=dd),
+        x, y, db, wp, bp, w1, b1, w2, b2)
+    return vjp(g)
+
+
+dwres_pw_ffn_pair.defvjp(_dwres_fwd, _dwres_bwd)

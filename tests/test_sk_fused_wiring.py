@@ -25,7 +25,8 @@ def fused_on_cpu(monkeypatch):
         functools.partial(FFN._ffn_pair_fwd, block_n=256, interpret=True))
 
 
-@pytest.mark.parametrize("dw_impl", ["pallas", "xla_cond", "banded"])
+@pytest.mark.parametrize("dw_impl",
+                         ["pallas", "xla_cond", "xla_cond_sep", "banded"])
 def test_skblock_fused_path_matches_unfused(fused_on_cpu, dw_impl):
     """dw_impl='pallas' (dw chain kernel + fused FFN pairs incl. the pw
     pre-stage) and 'xla_cond' (cond-shielded convs + fused FFN pairs) on the

@@ -224,6 +224,61 @@ def test_bidirectional_train_step_virtual_mesh():
     assert float(m2["loss"]) < float(m1["loss"])
 
 
+def test_bidirectional_fold_equals_two_applies():
+    """The batch-axis fold of the reversed clip (training/step.py) is
+    mathematically identical to two model applications for models without
+    cross-batch coupling: same loss and same gradients."""
+    import jax
+
+    from streamflow_tpu.config import StreamFlowConfig
+    from streamflow_tpu.models import create_model
+    from streamflow_tpu.training.loss import sequence_loss
+    from streamflow_tpu.training.step import make_train_step
+    from streamflow_tpu.training.state import TrainState
+
+    rng = np.random.default_rng(7)
+    B, T, H, W = 2, 4, 32, 32
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)),
+                              dtype=jnp.float32),
+        "flows": jnp.asarray(0.1 * rng.standard_normal((B, T - 1, H, W, 2)),
+                             dtype=jnp.float32),
+        "valids": jnp.ones((B, T - 1, H, W), jnp.float32),
+        "flows_bw": jnp.asarray(
+            0.1 * rng.standard_normal((B, T - 1, H, W, 2)), dtype=jnp.float32),
+        "valids_bw": jnp.ones((B, T - 1, H, W), jnp.float32),
+    }
+    cfg = StreamFlowConfig(T=T, iters=1, mixed_precision=False,
+                           scan_unroll=1)
+    model = create_model("streamflow", cfg=cfg)
+    params = jax.jit(lambda k, x: model.init(k, x, iters=1))(
+        jax.random.PRNGKey(0), batch["images"])
+
+    def loss_two(p):
+        preds = model.apply(p, batch["images"], iters=1, train=True)
+        total = 0.0
+        for i in range(T - 1):
+            li, _ = sequence_loss(preds[:, :, i], batch["flows"][:, i],
+                                  batch["valids"][:, i], 0.85)
+            total = total + li
+        preds_bw = model.apply(p, batch["images"][:, ::-1], iters=1,
+                               train=True)
+        fb = batch["flows_bw"][:, ::-1]
+        vb = batch["valids_bw"][:, ::-1]
+        for i in range(T - 1):
+            li, _ = sequence_loss(preds_bw[:, :, i], fb[:, i], vb[:, i], 0.85)
+            total = total + li
+        return total
+
+    # the folded path is what make_train_step builds for model_state == {}
+    step = make_train_step(model, make_optimizer(1e-4, 10), 0.85, iters=1,
+                           bidirectional=True)
+    state = TrainState.create(params, make_optimizer(1e-4, 10))
+    v_two, g_two = jax.jit(jax.value_and_grad(loss_two))(params)
+    _, m = jax.jit(step)(state, batch)
+    np.testing.assert_allclose(float(m["loss"]), float(v_two), rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_batchnorm_stats_update_basic_encoder():
     """encoder='basic' (BatchNorm cnet): the train step must update the
