@@ -82,6 +82,9 @@ class StreamFlowConfig:
     # fusions; "shift" is a k^2-tap elementwise expansion (numerics
     # debugging only — 7.7x slower, ROADMAP.md).
     dw_impl: str = "auto"
+    # Query-block rows of the fused corr lookup kernel (corr_impl='pallas');
+    # operands are padded to a whole number of blocks at volume-build time.
+    lookup_block_q: int = 512
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0
@@ -96,6 +99,12 @@ class StreamFlowConfig:
     # tile; measured r3s4, ROADMAP.md) — so "pallas" is debug-only until
     # the kernel is restructured head-major.
     lga_impl: str = "auto"
+    # Run each Twins MLP pair (fc1 -> gelu -> fc2) as one Pallas ffn_pair
+    # kernel so the 4x-hidden activation never round-trips HBM — independent
+    # of lga_impl='pallas' (which also implies it), usable while the fused
+    # LGA kernel is gated off the real Mosaic toolchain. None = auto: on for
+    # TPU (142.4 vs 143.5/144.3 ms/clip at 436x1024, r4s2), off elsewhere.
+    twins_ffn_fused: bool | None = None
 
     dropout: float = 0.0
 
@@ -141,9 +150,10 @@ class StreamFlowConfig:
         resolutions, so checkpoints are backend-portable."""
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
+        tffn = self.twins_ffn_fused
         if lga == "auto":
             lga = "xla"  # fused LGA is opt-in until measured on hardware
-        if "auto" in (corr, attn):
+        if "auto" in (corr, attn) or tffn is None:
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
@@ -151,13 +161,17 @@ class StreamFlowConfig:
                 corr = "pallas" if on_tpu else "xla"
             if attn == "auto":
                 attn = "flash" if on_tpu else "full"
+            if tffn is None:
+                tffn = on_tpu
         if dw == "auto":
             dw = "xla_cond" if corr == "pallas" else "xla"
-        if (corr, dw, attn, lga) == (self.corr_impl, self.dw_impl,
-                                     self.attn_impl, self.lga_impl):
+        if (corr, dw, attn, lga, tffn) == (
+                self.corr_impl, self.dw_impl, self.attn_impl, self.lga_impl,
+                self.twins_ffn_fused):
             return self
         return dataclasses.replace(self, corr_impl=corr, dw_impl=dw,
-                                   attn_impl=attn, lga_impl=lga)
+                                   attn_impl=attn, lga_impl=lga,
+                                   twins_ffn_fused=tffn)
 
     def for_resolution(self, height: int, width: int) -> "StreamFlowConfig":
         """Pick memory-appropriate kernel implementations for an input size:

@@ -257,7 +257,8 @@ class SKBlock(nn.Module):
         # erf-gelu loop fusions between the kernels and the branch cost
         # ~23 ms/clip at the benchmark shape. 'xla_cond_sep' keeps the
         # elementwise stages as separate XLA fusions (A/B knob).
-        edge_fused = (fused and self.dw_impl == "xla_cond"
+        edge_fused = (fused
+                      and self.dw_impl in ("xla_cond", "xla_cond_f32")
                       and len(ks) == 2 and ks[0] == 1 and ks[1] > 1)
 
         m1 = conv("ffn1_in", c_in, hidden, cp, hp)
@@ -279,12 +280,18 @@ class SKBlock(nn.Module):
             kk = ks[-1]
 
             def _conv_only(vin):
+                # '_f32': accumulate in f32 (bf16 VPU FMAs run at half rate);
+                # the downcast rides the dwres_pw_ffn_pair prologue (the
+                # kernel casts y to f32 anyway), unlike the r3s2 standalone
+                # f32-acc measurement where the cast was its own fusion.
                 return jax.lax.conv_general_dilated(
                     vin, wdw[:, :, None, :], (1, 1),
                     [(kk // 2, kk // 2)] * 2,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     feature_group_count=vin.shape[-1],
-                    preferred_element_type=vin.dtype,
+                    preferred_element_type=(
+                        jnp.float32 if self.dw_impl.endswith("_f32")
+                        else vin.dtype),
                 )
 
             y = jax.lax.cond(pred, _conv_only,

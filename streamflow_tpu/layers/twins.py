@@ -244,6 +244,10 @@ class TwinsBlock(nn.Module):
     ws: Optional[int] = None
     chunk: int = 0
     lga_impl: str = "xla"
+    # Run the MLP pair as one Pallas ffn_pair kernel (the 4x hidden never
+    # round-trips HBM). Independent of lga_impl='pallas' (which also implies
+    # it) so the fused MLP is usable while the fused LGA kernel is gated off.
+    ffn_fused: bool = False
     temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
 
@@ -284,7 +288,8 @@ class TwinsBlock(nn.Module):
 
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim,
-                      fused=self.lga_impl == "pallas", dtype=self.dtype,
+                      fused=self.lga_impl == "pallas" or self.ffn_fused,
+                      dtype=self.dtype,
                       name="mlp")(norm2(x))
         if self.temporal == "1dconv":
             # dirac-init temporal conv (identity at init) over the T axis
@@ -322,6 +327,7 @@ class _TwinsStages(nn.Module):
     temporal: bool = True
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     block_temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
     cfg: dict = None
@@ -345,7 +351,8 @@ class _TwinsStages(nn.Module):
                 x = TwinsBlock(
                     dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
                     cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
-                    lga_impl=self.lga_impl, temporal=self.block_temporal,
+                    lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                    temporal=self.block_temporal,
                     dtype=self.dtype, name=f"stage{i}_block{j}",
                 )(x, size, t=t_blocks)
                 if j == 0:
@@ -369,13 +376,14 @@ class TwinsCSC(nn.Module):
 
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=True, chunk=self.chunk,
-                            lga_impl=self.lga_impl, dtype=self.dtype,
-                            name="stages")(x)
+                            lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            dtype=self.dtype, name="stages")(x)
 
 
 class Twins(nn.Module):
@@ -384,13 +392,14 @@ class Twins(nn.Module):
 
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
-                            lga_impl=self.lga_impl, dtype=self.dtype,
-                            name="stages")(x)
+                            lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            dtype=self.dtype, name="stages")(x)
 
 
 class Twins1DConv(nn.Module):
@@ -399,12 +408,13 @@ class Twins1DConv(nn.Module):
 
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
-                            lga_impl=self.lga_impl,
+                            lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             block_temporal="1dconv", dtype=self.dtype,
                             name="stages")(x)
 
@@ -415,12 +425,13 @@ class TwinsTemporalAttention(nn.Module):
 
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
-                            lga_impl=self.lga_impl,
+                            lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             block_temporal="attn", dtype=self.dtype,
                             name="stages")(x)
 
@@ -431,13 +442,14 @@ class Twins3DConv(nn.Module):
 
     chunk: int = 0
     lga_impl: str = "xla"
+    ffn_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         y = _TwinsStages(temporal=False, chunk=self.chunk,
-                         lga_impl=self.lga_impl, dtype=self.dtype,
-                         name="stages")(x)
+                         lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                         dtype=self.dtype, name="stages")(x)
 
         def dirac(key, shape, dtype=jnp.float32):
             kt, kh, kw, i, o = shape

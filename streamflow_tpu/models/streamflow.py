@@ -57,6 +57,7 @@ def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
     if cfg.encoder in _TWINS_VARIANTS:
         return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk,
                                             lga_impl=cfg.lga_impl,
+                                            ffn_fused=cfg.twins_ffn_fused,
                                             dtype=dtype, name=name)
     if cfg.encoder == "umt":
         from streamflow_tpu.layers.umt import UMT
@@ -188,7 +189,9 @@ class StreamFlow(nn.Module):
         if cfg.corr_impl == "pallas":
             from streamflow_tpu.ops.pallas.corr import PallasCorr
 
-            pyramid = PallasCorr.build(f1, f2, cfg.corr_levels, cfg.corr_radius)
+            pyramid = PallasCorr.build(f1, f2, cfg.corr_levels,
+                                       cfg.corr_radius,
+                                       block_q=cfg.lookup_block_q)
         elif cfg.corr_impl == "chunked":
             from streamflow_tpu.ops.corr import ChunkedCorr
 

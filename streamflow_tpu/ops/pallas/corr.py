@@ -61,8 +61,8 @@ def _xla_equiv_prepared(f1p, f2p, coords, meta, radius):
     return _xla_equiv(fmap1, f2_levels, coords, radius)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q):
     """Lookup on prepare_inputs-padded operands (differentiable)."""
     if jax.default_backend() == "tpu":
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
@@ -75,17 +75,18 @@ def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype):
         f1p, f2p, coords = jax.lax.optimization_barrier(
             (f1p, tuple(f2p), coords))
         return fused_corr_lookup_prepared(f1p, tuple(f2p), coords, meta,
-                                          radius=radius, out_dtype=out_dtype)
+                                          radius=radius, out_dtype=out_dtype,
+                                          block_q=block_q)
     out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype):
-    return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype), (
-        f1p, f2p, coords)
+def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q):
+    return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype,
+                         block_q), (f1p, f2p, coords)
 
 
-def _fused_bwd(meta, radius, out_dtype, res, g):
+def _fused_bwd(meta, radius, out_dtype, block_q, res, g):
     import jax.numpy as jnp
 
     f1p, f2p, coords = res
@@ -104,21 +105,25 @@ class PallasCorr:
     f2p: tuple              # prepared pyramid levels, (B, Hl+U-1, Wp, C)
     meta: tuple = flax.struct.field(pytree_node=False)  # ((Hl, Wl), ...)
     radius: int = flax.struct.field(pytree_node=False)
+    block_q: int = flax.struct.field(pytree_node=False, default=512)
 
     @classmethod
-    def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4):
+    def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,
+              block_q: int = 512):
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
             pool_pyramid,
             prepare_inputs,
         )
 
         f1p, f2p, meta = prepare_inputs(
-            fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius)
-        return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius)
+            fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius,
+            block_q=block_q)
+        return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius,
+                   block_q=block_q)
 
     def lookup(self, coords, out_dtype=None):
         out = _fused_lookup(self.f1p, self.f2p, coords, self.meta,
-                            self.radius, out_dtype)
+                            self.radius, out_dtype, self.block_q)
         # The Mosaic custom-call pins default layouts on its operands and
         # results; without a barrier XLA propagates that layout pressure
         # through the scan body and drops the spatially-tiled convolution

@@ -37,8 +37,11 @@ _KEYMAP = {
     "unroll": "scan_unroll",
     "iters": "iters",
     "T": "T",
+    "tffn": "twins_ffn_fused",
+    "bq": "lookup_block_q",
 }
-_INT_KEYS = {"scan_unroll", "iters", "T"}
+_INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q"}
+_BOOL_KEYS = {"twins_ffn_fused"}
 
 
 def parse_spec(spec: str):
@@ -47,7 +50,12 @@ def parse_spec(spec: str):
         for kv in spec.split(","):
             k, v = kv.split("=")
             k = _KEYMAP.get(k, k)
-            over[k] = int(v) if k in _INT_KEYS else v
+            if k in _INT_KEYS:
+                over[k] = int(v)
+            elif k in _BOOL_KEYS:
+                over[k] = v not in ("0", "false", "False")
+            else:
+                over[k] = v
     return over
 
 
