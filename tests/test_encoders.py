@@ -126,3 +126,31 @@ def test_streamflow_res18_3d_forward():
         jax.random.PRNGKey(0), imgs)
     out = jax.jit(lambda p_, a: m.apply(p_, a, test_mode=True))(p, imgs)
     assert out.shape == (1, 3, 32, 48, 2)
+
+
+def test_patchify_conv_matches_nn_conv():
+    """conv2d's stride==kernel VALID dispatch (PatchifyConv: space-to-depth
+    + matmul) is numerically and parameter-layout identical to nn.Conv,
+    including the crop of rows/cols beyond the last whole patch (odd H)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from streamflow_tpu.layers.common import conv2d
+
+    rng = np.random.default_rng(3)
+    for (h, w, cin, k, feat) in [(16, 24, 3, 4, 32), (55, 36, 8, 2, 16),
+                                 (33, 33, 4, 16, 24)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        fast = conv2d(feat, k, stride=k, padding="VALID", name="proj")
+        from streamflow_tpu.layers.common import PatchifyConv
+
+        assert isinstance(fast, PatchifyConv)
+        ref = nn.Conv(feat, (k, k), strides=(k, k), padding="VALID")
+        p = jax.jit(fast.init)(jax.random.PRNGKey(0), x)
+        # identical parameter layout: nn.Conv params drop straight in
+        y_fast = jax.jit(fast.apply)(p, x)
+        y_ref = jax.jit(ref.apply)(p, x)
+        assert y_fast.shape == y_ref.shape == (2, h // k, w // k, feat)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   atol=2e-5)

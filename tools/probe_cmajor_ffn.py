@@ -29,9 +29,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-
-def _gelu(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+# erf has no direct Mosaic lowering in this toolchain; the package ships a
+# VPU-exact polynomial (used by every shipping kernel).
+from streamflow_tpu.ops.pallas._ffn_kernel import _gelu
 
 
 def _kernel_cm(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
@@ -50,8 +50,10 @@ def _kernel_cm(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
     o_ref[...] = y.astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("residual", "block_n"))
-def ffn_pair_cmajor(x, w1, b1, w2, b2, residual=True, block_n=512):
+@functools.partial(jax.jit,
+                   static_argnames=("residual", "block_n", "interpret"))
+def ffn_pair_cmajor(x, w1, b1, w2, b2, residual=True, block_n=512,
+                    interpret=False):
     """x: (C, N); w1 (C, Ch); w2 (Ch, Co); b (Ch,)/(Co,). Returns (Co, N)."""
     c, n = x.shape
     ch = w1.shape[1]
@@ -59,6 +61,7 @@ def ffn_pair_cmajor(x, w1, b1, w2, b2, residual=True, block_n=512):
     assert n % block_n == 0
     return pl.pallas_call(
         functools.partial(_kernel_cm, residual=residual),
+        interpret=interpret,
         grid=(n // block_n,),
         in_specs=[
             pl.BlockSpec((c, block_n), lambda i: (0, i)),
@@ -72,12 +75,21 @@ def ffn_pair_cmajor(x, w1, b1, w2, b2, residual=True, block_n=512):
     )(x, w1, b1.reshape(ch, 1), w2, b2.reshape(co, 1))
 
 
-def time_fn(fn, *args, reps=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def time_fn(fn, x, reps=30):
+    """Chained on-device timing: one jit of `reps` dependent applications —
+    per-call host dispatch through the axon tunnel is 0.3-3.7 ms noisy
+    (measured), so unchained per-call timing is meaningless here. Requires
+    fn output shape == x shape (residual pairs)."""
+
+    @jax.jit
+    def loop(x0):
+        def body(_, v):
+            return fn(v) * 0.01 + x0
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    jax.block_until_ready(loop(x))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    out = loop(x)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
@@ -101,9 +113,10 @@ def main():
         t_rm = time_fn(jax.jit(lambda x: ffn_pair(x, w1, b1, w2, b2, True)),
                        x_rm)
         x_cm = x_rm.T.copy()
-        for bn in (256, 512, 1024):
-            if n % bn:
-                continue
+        # In C-major the lanes are the token axis: blocks must be 128-lane
+        # multiples that divide n (21120 = 128 * 165, 165 = 3*5*11).
+        cands = [m * 128 for m in (5, 15) if n % (m * 128) == 0]
+        for bn in cands:
             try:
                 f = jax.jit(lambda x, bn=bn: ffn_pair_cmajor(
                     x, w1, b1, w2, b2, True, bn))
