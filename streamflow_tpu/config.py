@@ -85,6 +85,9 @@ class StreamFlowConfig:
     # Query-block rows of the fused corr lookup kernel (corr_impl='pallas');
     # operands are padded to a whole number of blocks at volume-build time.
     lookup_block_q: int = 512
+    # Volume planes per loop step inside the fused lookup kernel (a bigger
+    # slab halves the dynamic-trip loop overhead; costs VMEM + edge rows).
+    lookup_unroll: int = 4
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0

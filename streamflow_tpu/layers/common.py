@@ -176,6 +176,10 @@ class PatchifyConv(nn.Module):
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (k, k, c, self.features), jnp.float32)
         x = x[:, : hp * k, : wp * k]
+        # explicit space-to-depth transpose + 2-D-contraction dot. The
+        # transpose costs ~2.1 ms/clip (r4s2 trace) but contracting the
+        # (k, k, c) dims in place via dot_general is WORSE: 152.3 vs 140.8
+        # ms/clip e2e (XLA lowers the multi-dim contraction poorly).
         x = x.reshape(b, hp, k, wp, k, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, hp, wp, k * k * c)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)

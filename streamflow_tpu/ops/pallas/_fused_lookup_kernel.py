@@ -49,7 +49,10 @@ PAD_L = 16  # zero columns left of every f2 level: the clamped window
             # origin s = x0 - r + PAD_L must stay >= 0 for x0 >= -(r+3)
             # (Mosaic's lane gather wraps negative indices, it does not
             # clamp like XLA gather - found by the on-device parity diff)
-UNROLL = 4  # volume planes per loop step (one MXU matmul feeds U extractions)
+UNROLL = 4  # default volume planes per loop step (one MXU matmul feeds U
+            # extractions); overridable per call — a bigger slab halves the
+            # dynamic-trip fori overhead at the cost of VMEM and wasted
+            # edge rows
 
 
 def _wp_of(wl: int, r: int) -> int:
@@ -61,7 +64,8 @@ def _wp_of(wl: int, r: int) -> int:
 
 
 def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
-                  scale: float):
+                  scale: float, unroll: int = UNROLL):
+    UNROLL = unroll
     n_levels = len(meta)
     f2_refs = refs[:n_levels]
     out_ref = refs[n_levels]
@@ -132,7 +136,9 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
         out_ref[0, :, l * 128:(l + 1) * 128] = out_l.astype(out_ref.dtype)
 
 
-def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512):
+def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
+                   unroll: int = UNROLL):
+    UNROLL = unroll
     """Pad the refinement-loop-INVARIANT kernel operands once: f1 row-padded
     to a whole number of query blocks, every f2 level lane-padded (PAD_L +
     tile-width right pad + UNROLL-1 zero rows). Calling this at volume-build
@@ -175,10 +181,13 @@ def unprepare_inputs(f1p, f2p, meta, h, w):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "radius", "out_dtype", "block_q", "interpret"))
+    static_argnames=("meta", "radius", "out_dtype", "block_q", "interpret",
+                     "unroll"))
 def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
                                out_dtype=None, block_q: int = 512,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               unroll: int = UNROLL):
+    UNROLL = unroll
     """Lookup against operands pre-padded by :func:`prepare_inputs` — the
     per-iteration work is only the (B, N, 2L) index/frac computation plus the
     kernel itself. coords (B,H,W,2) level-0 pixel xy. Returns
@@ -223,7 +232,7 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     grid = (b, n_tot // block_q)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, meta=tuple(meta), radius=r,
-                          scale=scale),
+                          scale=scale, unroll=UNROLL),
         out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels * 128), out_dtype),
         grid=grid,
         in_specs=[
@@ -256,18 +265,19 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "out_dtype", "block_q", "interpret"))
+    static_argnames=("radius", "out_dtype", "block_q", "interpret", "unroll"))
 def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
                       out_dtype=None, block_q: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, unroll: int = UNROLL):
     """One-shot convenience wrapper: prepare + lookup in one call (pads the
     invariant operands every time — inside a refinement loop use
     :func:`prepare_inputs` once and :func:`fused_corr_lookup_prepared` per
     iteration instead)."""
-    f1p, f2p, meta = prepare_inputs(fmap1, f2_levels, radius, block_q)
+    f1p, f2p, meta = prepare_inputs(fmap1, f2_levels, radius, block_q,
+                                    unroll=unroll)
     return fused_corr_lookup_prepared(
         f1p, f2p, coords, meta, radius=radius, out_dtype=out_dtype,
-        block_q=block_q, interpret=interpret)
+        block_q=block_q, interpret=interpret, unroll=unroll)
 
 
 def pool_pyramid(fmap2, num_levels: int = 4):

@@ -61,8 +61,9 @@ def _xla_equiv_prepared(f1p, f2p, coords, meta, radius):
     return _xla_equiv(fmap1, f2_levels, coords, radius)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
+                  unroll):
     """Lookup on prepare_inputs-padded operands (differentiable)."""
     if jax.default_backend() == "tpu":
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
@@ -76,17 +77,17 @@ def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q):
             (f1p, tuple(f2p), coords))
         return fused_corr_lookup_prepared(f1p, tuple(f2p), coords, meta,
                                           radius=radius, out_dtype=out_dtype,
-                                          block_q=block_q)
+                                          block_q=block_q, unroll=unroll)
     out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q):
+def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q, unroll):
     return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype,
-                         block_q), (f1p, f2p, coords)
+                         block_q, unroll), (f1p, f2p, coords)
 
 
-def _fused_bwd(meta, radius, out_dtype, block_q, res, g):
+def _fused_bwd(meta, radius, out_dtype, block_q, unroll, res, g):
     import jax.numpy as jnp
 
     f1p, f2p, coords = res
@@ -106,10 +107,11 @@ class PallasCorr:
     meta: tuple = flax.struct.field(pytree_node=False)  # ((Hl, Wl), ...)
     radius: int = flax.struct.field(pytree_node=False)
     block_q: int = flax.struct.field(pytree_node=False, default=512)
+    unroll: int = flax.struct.field(pytree_node=False, default=4)
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,
-              block_q: int = 512):
+              block_q: int = 512, unroll: int = 4):
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
             pool_pyramid,
             prepare_inputs,
@@ -117,13 +119,14 @@ class PallasCorr:
 
         f1p, f2p, meta = prepare_inputs(
             fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius,
-            block_q=block_q)
+            block_q=block_q, unroll=unroll)
         return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius,
-                   block_q=block_q)
+                   block_q=block_q, unroll=unroll)
 
     def lookup(self, coords, out_dtype=None):
         out = _fused_lookup(self.f1p, self.f2p, coords, self.meta,
-                            self.radius, out_dtype, self.block_q)
+                            self.radius, out_dtype, self.block_q,
+                            self.unroll)
         # The Mosaic custom-call pins default layouts on its operands and
         # results; without a barrier XLA propagates that layout pressure
         # through the scan body and drops the spatially-tiled convolution

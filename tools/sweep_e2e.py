@@ -39,8 +39,9 @@ _KEYMAP = {
     "T": "T",
     "tffn": "twins_ffn_fused",
     "bq": "lookup_block_q",
+    "lu": "lookup_unroll",
 }
-_INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q"}
+_INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q", "lookup_unroll"}
 _BOOL_KEYS = {"twins_ffn_fused"}
 
 
