@@ -36,13 +36,42 @@ class CollectableDense(nn.Module):
         return kernel.astype(dt), bias.astype(dt)
 
 
+class CollectableLN(nn.Module):
+    """nn.LayerNorm-compatible params (scale/bias over the trailing dim),
+    applicable directly OR collectable for a fused Pallas kernel. The
+    applied math matches torch nn.LayerNorm: f32 stats, biased variance."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x=None, features: Optional[int] = None,
+                 collect: bool = False):
+        f = features if x is None else x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        if collect:
+            dt = self.dtype or jnp.float32
+            return scale.astype(dt), bias.astype(dt)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer MLP: Linear -> GELU -> Linear (timm Mlp semantics).
 
     ``fused=True`` on TPU runs the pair as ONE Pallas kernel
     (ops/pallas/_ffn_kernel.py, residual=False): the 4x-wide hidden
     activation never round-trips HBM. Exact same math (erf gelu, f32 MXU
-    accumulation); parameters identical."""
+    accumulation); parameters identical.
+
+    ``ln=(gamma, beta)`` fuses a LayerNorm prologue and ``add_res=True`` a
+    plain residual epilogue into the same kernel — the full Twins pre-norm
+    MLP branch x + mlp(norm2(x)) in one pass (fused path only; callers keep
+    the unfused flow themselves when not on TPU)."""
 
     hidden: int
     out: int
@@ -50,9 +79,10 @@ class Mlp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None, add_res: bool = False):
         if self.fused and jax.default_backend() == "tpu":
-            from streamflow_tpu.ops.pallas._ffn_kernel import ffn_pair
+            from streamflow_tpu.ops.pallas._ffn_kernel import (ffn_pair,
+                                                               ln_ffn_pair)
 
             c = x.shape[-1]
             w1, b1 = CollectableDense(self.hidden, dtype=self.dtype,
@@ -62,7 +92,11 @@ class Mlp(nn.Module):
                                       name="fc2")(None, in_dim=self.hidden,
                                                   collect=True)
             dt = self.dtype or x.dtype
+            if ln is not None:
+                return ln_ffn_pair(x.astype(dt), ln[0], ln[1], w1, b1,
+                                   w2, b2, add_res)
             return ffn_pair(x.astype(dt), w1, b1, w2, b2, False)
+        assert ln is None, "ln prologue is for the fused TPU path"
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)

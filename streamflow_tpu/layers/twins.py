@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from streamflow_tpu.layers.common import CollectableDense, Mlp, conv2d
+from streamflow_tpu.layers.common import (CollectableDense, CollectableLN,
+                                          Mlp, conv2d)
 
 
 class TemporalPatchEmbed(nn.Module):
@@ -286,11 +287,18 @@ class TwinsBlock(nn.Module):
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         x = x + attn(norm1(x), size)
 
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
-        mlp_out = Mlp(self.dim * self.mlp_ratio, self.dim,
-                      fused=self.lga_impl == "pallas" or self.ffn_fused,
-                      dtype=self.dtype,
-                      name="mlp")(norm2(x))
+        fused_mlp = ((self.lga_impl == "pallas" or self.ffn_fused)
+                     and jax.default_backend() == "tpu")
+        norm2 = CollectableLN(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        mlp = Mlp(self.dim * self.mlp_ratio, self.dim, fused=fused_mlp,
+                  dtype=self.dtype, name="mlp")
+        if fused_mlp and self.temporal != "1dconv":
+            # norm2 + MLP + residual ride ONE Pallas kernel (the normalized
+            # activation and the residual re-read never touch HBM; the two
+            # standalone fusions were ~2.4 ms/clip in the r4 trace).
+            return mlp(x, ln=norm2(None, features=c, collect=True),
+                       add_res=True)
+        mlp_out = mlp(norm2(x))
         if self.temporal == "1dconv":
             # dirac-init temporal conv (identity at init) over the T axis
             def dirac(key, shape, dtype=jnp.float32):

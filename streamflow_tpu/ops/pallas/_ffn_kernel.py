@@ -33,8 +33,19 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf_f32(x * (1.0 / math.sqrt(2.0))))
 
 
+def _ln_f32(x, g, be, eps=1e-5):
+    """Rowwise LayerNorm over the trailing axis, f32 stats (torch
+    nn.LayerNorm semantics, biased variance)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return xn * g.astype(jnp.float32) + be.astype(jnp.float32)
+
+
 def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
-                 kw=None, kb=None, yres=None, db=None):
+                 kw=None, kb=None, yres=None, db=None, ln=None,
+                 add_res=False):
     """Reference XLA composite (exact math of the kernel).
 
     Optional edge stages (the SK-block dw-chain elementwise work folded into
@@ -43,8 +54,15 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
                conv's bias + residual gelu, applied before the pw stage)
       kw/kb:   k==1 dw-stage epilogue  y = gelu(y + y*kw + kb)   (after the
                residual pair)
+      ln:      (gamma, beta) LayerNorm prologue over raw x (the Twins
+               pre-norm block's norm2 riding the MLP kernel)
+      add_res: plain residual epilogue y = y + x_raw (the Twins block's
+               x + mlp(LN(x)) — no gelu)
     """
     dt = x.dtype
+    x_raw = x
+    if ln is not None:
+        x = _ln_f32(x, ln[0], ln[1]).astype(dt)
     if yres is not None:
         x = _gelu(x.astype(jnp.float32) + yres.astype(jnp.float32)
                   + db.astype(jnp.float32)).astype(dt)
@@ -65,6 +83,8 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
     if kw is not None:
         y = y.astype(jnp.float32)
         y = _gelu(y + y * kw.astype(jnp.float32) + kb.astype(jnp.float32))
+    if add_res:
+        y = y.astype(jnp.float32) + x_raw.astype(jnp.float32)
     return y.astype(dt)
 
 
@@ -101,6 +121,35 @@ def _kernel_k1(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, kw_ref, kb_ref, o_ref,
     standalone HBM pass between this kernel and the dw conv."""
     _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
                k1_refs=(kw_ref, kb_ref))
+
+
+def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, residual, add_res):
+    """LayerNorm prologue + FFN pair + optional plain residual epilogue:
+    o = [x +] pair(LN(x)). The Twins pre-norm MLP (x + mlp(norm2(x))) in one
+    kernel: the normalized activation and the residual re-read never touch
+    HBM (they were two standalone ~2.4 ms/clip fusions in the r4 trace)."""
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * g_ref[...].astype(jnp.float32)
+          + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    dt = xn.dtype
+    h = jax.lax.dot_general(
+        xn, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = _gelu(h + b1_ref[...].astype(jnp.float32)).astype(dt)
+    y = jax.lax.dot_general(
+        h, w2_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32)
+    if residual:
+        y = _gelu(xn.astype(jnp.float32) + y)
+    if add_res:
+        y = y + x.astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
@@ -149,20 +198,23 @@ def _pick_block(n: int, target: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("residual", "block_n", "interpret"))
+                   static_argnames=("residual", "add_res", "block_n",
+                                    "interpret"))
 def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
-                  yres=None, db=None, residual=True,
-                  block_n: int = 1024, interpret: bool = False):
+                  yres=None, db=None, ln_g=None, ln_b=None, residual=True,
+                  add_res=False, block_n: int = 1024,
+                  interpret: bool = False):
     """x: (..., C); w1 (C, Ch); w2 (Ch, Co); optional pw pre-stage wp (C, C);
     optional k1 epilogue (kw, kb) (Co,); optional residual-gelu prologue
-    (yres (..., C), db (C,)). residual requires Co == C. ``block_n`` is a
-    target: the actual row block is the nearest dividing block (no padding)
-    when one exists."""
+    (yres (..., C), db (C,)); optional LayerNorm prologue (ln_g, ln_b) (C,)
+    with plain residual epilogue ``add_res`` (Twins pre-norm MLP). residual
+    and add_res require Co == C. ``block_n`` is a target: the actual row
+    block is the nearest dividing block (no padding) when one exists."""
     orig_shape = x.shape
     c = x.shape[-1]
     ch = w1.shape[1]
     co = w2.shape[1]
-    assert not residual or co == c
+    assert not (residual or add_res) or co == c
     n = math.prod(orig_shape[:-1])
     x2 = x.reshape(n, c)
     block_n = _pick_block(n, block_n)
@@ -182,6 +234,12 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
         in_specs += [row_spec, pl.BlockSpec((1, c), lambda i: (0, 0))]
         assert wp is not None, "prologue is only used with the pw stage"
         kern = functools.partial(_kernel_dwres_pw, residual=residual)
+    elif ln_g is not None:
+        assert wp is None and kw is None, "ln prologue is pair-only"
+        inputs += [ln_g.reshape(1, c), ln_b.reshape(1, c)]
+        in_specs += [pl.BlockSpec((1, c), lambda i: (0, 0))] * 2
+        kern = functools.partial(_kernel_ln, residual=residual,
+                                 add_res=add_res)
     elif wp is not None:
         kern = functools.partial(_kernel_pw, residual=residual)
     elif kw is not None:
@@ -322,3 +380,29 @@ def _dwres_bwd(residual, res, g):
 
 
 dwres_pw_ffn_pair.defvjp(_dwres_fwd, _dwres_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res=True):
+    """LayerNorm prologue + FFN pair + plain residual epilogue in one kernel
+    (the Twins pre-norm MLP, x + mlp(norm2(x)) — reference timm
+    twins.Block.forward); backward recomputes through the XLA composite."""
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, ln_g=g, ln_b=be,
+                         residual=False, add_res=add_res)
+
+
+def _ln_fwd(x, g, be, w1, b1, w2, b2, add_res):
+    return (ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res),
+            (x, g, be, w1, b1, w2, b2))
+
+
+def _ln_bwd(add_res, res, gr):
+    x, g, be, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda xx, gg, bb, *a: ffn_pair_xla(
+            xx, *a, residual=False, ln=(gg, bb), add_res=add_res),
+        x, g, be, w1, b1, w2, b2)
+    return vjp(gr)
+
+
+ln_ffn_pair.defvjp(_ln_fwd, _ln_bwd)
