@@ -33,15 +33,17 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                       m_scr, l_scr, acc_scr, *, kv_len: int, block_k: int,
                       single_kv: bool):
     if single_kv:
-        # One kv block per q block (the GSA case: m = n/64): plain softmax,
-        # no online renormalization passes.
+        # One kv block per q block (the GSA case m = n/64, and GMA whenever
+        # the whole lane-aligned kv axis fits VMEM): plain softmax, no
+        # online renormalization passes.
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        if kv_len < k.shape[0]:  # mask only when kv is actually padded
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -68,9 +70,12 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
 
-    # Mask padded kv columns.
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    # Mask padded kv columns — statically skipped when the blocks tile the
+    # kv axis exactly (the block_k divisor search makes that the norm).
+    if kv_len % block_k:
+        col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+               + kv_idx * block_k)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[...]          # (block_q, 1) broadcast-stored as (block_q, 128)
     l_prev = l_scr[...]
@@ -119,6 +124,16 @@ def flash_attention_tpu(q, k, v, block_q: int = 512, block_k: int = 2048,
 
     block_q = min(block_q, max(128, nq))
     block_k = min(block_k, max(128, nk))
+    # Whole-kv single block when it fits VMEM (GMA's nk = H*W is 128-aligned
+    # at lane-aligned feature widths): removes every online-softmax
+    # renormalization pass AND the padded-column mask — the VPU chain around
+    # the exp, not the MXU matmuls, is the measured bottleneck. Budget: the
+    # (block_q, nk) f32 score + bf16 prob temporaries + double-buffered k/v.
+    if nk > block_k and nk % 128 == 0:
+        est = (block_q * nk * 6 + 4 * nk * d * q.dtype.itemsize
+               + 2 * block_q * d * 4)
+        if est <= 56 * 2 ** 20:
+            block_k = nk
     if nk > block_k and nk % block_k:
         # Padded kv columns are masked but still COMPUTED (16% waste at the
         # benchmark's nk=7040 with block 2048 -> 8192). Prefer the largest
@@ -175,6 +190,9 @@ def flash_attention_tpu(q, k, v, block_q: int = 512, block_k: int = 2048,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # whole-kv single-block routing needs headroom beyond the 16 MB
+            # default scoped limit (score/prob temporaries)
+            vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
     )(qp, kp, vp)
