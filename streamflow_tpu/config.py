@@ -108,6 +108,16 @@ class StreamFlowConfig:
     # LGA kernel is gated off the real Mosaic toolchain. None = auto: on for
     # TPU (142.4 vs 143.5/144.3 ms/clip at 436x1024, r4s2), off elsewhere.
     twins_ffn_fused: bool | None = None
+    # Gelu evaluation inside the fused Pallas FFN kernels (SK blocks + Twins
+    # MLPs): "erf" reproduces XLA's exact 4/6 rational erf; "poly" is a
+    # divide-free odd polynomial (max|err| 4.0e-4 — ~20x below bf16
+    # activation resolution; the kernels' output delta vs the f32 composite
+    # is ~2.5e-2 with EITHER variant, dominated by bf16 operand rounding)
+    # that relieves the kernels' VPU bottleneck: 140.8 -> 129.1 ms/clip at
+    # 436x1024 (r4s3, BASELINE.md). "auto" = "poly" on TPU, "erf" elsewhere.
+    # The custom-vjp backward recomputes with the SAME variant; off-kernel
+    # XLA paths (CPU, dw='xla') always use exact erf.
+    ffn_gelu: str = "auto"
 
     dropout: float = 0.0
 
@@ -153,10 +163,10 @@ class StreamFlowConfig:
         resolutions, so checkpoints are backend-portable."""
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
-        tffn = self.twins_ffn_fused
+        tffn, gelu = self.twins_ffn_fused, self.ffn_gelu
         if lga == "auto":
             lga = "xla"  # fused LGA is opt-in until measured on hardware
-        if "auto" in (corr, attn) or tffn is None:
+        if "auto" in (corr, attn, gelu) or tffn is None:
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
@@ -166,15 +176,17 @@ class StreamFlowConfig:
                 attn = "flash" if on_tpu else "full"
             if tffn is None:
                 tffn = on_tpu
+            if gelu == "auto":
+                gelu = "poly" if on_tpu else "erf"
         if dw == "auto":
             dw = "xla_cond" if corr == "pallas" else "xla"
-        if (corr, dw, attn, lga, tffn) == (
+        if (corr, dw, attn, lga, tffn, gelu) == (
                 self.corr_impl, self.dw_impl, self.attn_impl, self.lga_impl,
-                self.twins_ffn_fused):
+                self.twins_ffn_fused, self.ffn_gelu):
             return self
         return dataclasses.replace(self, corr_impl=corr, dw_impl=dw,
                                    attn_impl=attn, lga_impl=lga,
-                                   twins_ffn_fused=tffn)
+                                   twins_ffn_fused=tffn, ffn_gelu=gelu)
 
     def for_resolution(self, height: int, width: int) -> "StreamFlowConfig":
         """Pick memory-appropriate kernel implementations for an input size:

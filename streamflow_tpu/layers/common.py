@@ -77,6 +77,9 @@ class Mlp(nn.Module):
     out: int
     fused: bool = False
     dtype: Optional[jnp.dtype] = None
+    # 'erf' (exact rational) or 'poly' (divide-free, max|err| 4e-4) gelu
+    # inside the fused kernel; the unfused path always uses exact erf.
+    ffn_gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x, ln=None, add_res: bool = False):
@@ -94,8 +97,9 @@ class Mlp(nn.Module):
             dt = self.dtype or x.dtype
             if ln is not None:
                 return ln_ffn_pair(x.astype(dt), ln[0], ln[1], w1, b1,
-                                   w2, b2, add_res)
-            return ffn_pair(x.astype(dt), w1, b1, w2, b2, False)
+                                   w2, b2, add_res, self.ffn_gelu)
+            return ffn_pair(x.astype(dt), w1, b1, w2, b2, False,
+                            self.ffn_gelu)
         assert ln is None, "ln prologue is for the fused TPU path"
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)

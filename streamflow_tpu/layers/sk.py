@@ -198,6 +198,10 @@ class SKBlock(nn.Module):
     # training default candidate) | 'banded_mxu_t' (+ layout transposes
     # fused in VMEM) | 'banded_chain' (whole dw stack one kernel)
     dw_impl: str = "auto"
+    # Gelu evaluation inside the fused FFN kernels: 'erf' (exact rational)
+    # or 'poly' (divide-free, max|err| 4e-4 — see _ffn_kernel._ERF_POLY);
+    # resolved from cfg.ffn_gelu at the model level.
+    ffn_gelu: str = "erf"
 
     def _pallas_ok(self, x, ks) -> bool:
         if self.dw_impl != "pallas":
@@ -272,7 +276,8 @@ class SKBlock(nn.Module):
             w1, b1 = m1(None, collect=True)
             w2, b2 = m2(None, collect=True)
             (wk1, bk1), (wdw, bdw) = [m(None, collect=True) for m in mods]
-            x = ffn_pair_k1(x, w1, b1, w2, b2, wk1[0, 0], bk1, True)
+            x = ffn_pair_k1(x, w1, b1, w2, b2, wk1[0, 0], bk1, True,
+                            self.ffn_gelu)
             pred = jnp.isfinite(
                 jax.lax.stop_gradient(jax.lax.slice(
                     x, (0,) * x.ndim, (1,) * x.ndim)).reshape(())
@@ -302,7 +307,8 @@ class SKBlock(nn.Module):
             wp, bp = mpw(None, collect=True)
             w3, b3 = m3(None, collect=True)
             w4, b4 = m4(None, collect=True)
-            x = dwres_pw_ffn_pair(x, y, bdw, wp, bp, w3, b3, w4, b4, False)
+            x = dwres_pw_ffn_pair(x, y, bdw, wp, bp, w3, b3, w4, b4, False,
+                                  self.ffn_gelu)
             if op != self.out_dim:
                 x = x[..., : self.out_dim]
             return x
@@ -311,7 +317,7 @@ class SKBlock(nn.Module):
 
             w1, b1 = m1(None, collect=True)
             w2, b2 = m2(None, collect=True)
-            x = ffn_pair(x, w1, b1, w2, b2, True)
+            x = ffn_pair(x, w1, b1, w2, b2, True, self.ffn_gelu)
         else:
             h = gelu(m1(x))
             x = gelu(x + m2(h))
@@ -474,7 +480,7 @@ class SKBlock(nn.Module):
             wp, bp = mpw(None, collect=True)
             w3, b3 = m3(None, collect=True)
             w4, b4 = m4(None, collect=True)
-            x = pw_ffn_pair(x, wp, bp, w3, b3, w4, b4, False)
+            x = pw_ffn_pair(x, wp, bp, w3, b3, w4, b4, False, self.ffn_gelu)
         else:
             x = gelu(x + mpw(x))
             h = gelu(m3(x))

@@ -249,6 +249,7 @@ class TwinsBlock(nn.Module):
     # round-trips HBM). Independent of lga_impl='pallas' (which also implies
     # it) so the fused MLP is usable while the fused LGA kernel is gated off.
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
 
@@ -291,7 +292,7 @@ class TwinsBlock(nn.Module):
                      and jax.default_backend() == "tpu")
         norm2 = CollectableLN(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp = Mlp(self.dim * self.mlp_ratio, self.dim, fused=fused_mlp,
-                  dtype=self.dtype, name="mlp")
+                  dtype=self.dtype, ffn_gelu=self.ffn_gelu, name="mlp")
         if fused_mlp and self.temporal != "1dconv":
             # norm2 + MLP + residual ride ONE Pallas kernel (the normalized
             # activation and the residual re-read never touch HBM; the two
@@ -336,6 +337,7 @@ class _TwinsStages(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     block_temporal: str = "none"
     dtype: Optional[jnp.dtype] = None
     cfg: dict = None
@@ -360,6 +362,7 @@ class _TwinsStages(nn.Module):
                     dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
                     cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
                     lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                    ffn_gelu=self.ffn_gelu,
                     temporal=self.block_temporal,
                     dtype=self.dtype, name=f"stage{i}_block{j}",
                 )(x, size, t=t_blocks)
@@ -385,12 +388,14 @@ class TwinsCSC(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=True, chunk=self.chunk,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            ffn_gelu=self.ffn_gelu,
                             dtype=self.dtype, name="stages")(x)
 
 
@@ -401,12 +406,14 @@ class Twins(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            ffn_gelu=self.ffn_gelu,
                             dtype=self.dtype, name="stages")(x)
 
 
@@ -417,12 +424,14 @@ class Twins1DConv(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            ffn_gelu=self.ffn_gelu,
                             block_temporal="1dconv", dtype=self.dtype,
                             name="stages")(x)
 
@@ -434,12 +443,14 @@ class TwinsTemporalAttention(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return _TwinsStages(temporal=False, chunk=self.chunk,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                            ffn_gelu=self.ffn_gelu,
                             block_temporal="attn", dtype=self.dtype,
                             name="stages")(x)
 
@@ -451,12 +462,14 @@ class Twins3DConv(nn.Module):
     chunk: int = 0
     lga_impl: str = "xla"
     ffn_fused: bool = False
+    ffn_gelu: str = "erf"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         y = _TwinsStages(temporal=False, chunk=self.chunk,
                          lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
+                         ffn_gelu=self.ffn_gelu,
                          dtype=self.dtype, name="stages")(x)
 
         def dirac(key, shape, dtype=jnp.float32):

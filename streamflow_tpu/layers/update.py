@@ -42,12 +42,14 @@ class SKMotionEncoder6(nn.Module):
     dtype: Optional[jnp.dtype] = None
     dw_impl: str = "auto"
     align: bool = True
+    ffn_gelu: str = "erf"
 
     @nn.compact
     def __call__(self, flow, corr):
         def sk(dim, name):
             return SKBlock(dim, self.k_conv, dtype=self.dtype,
-                           align=self.align, dw_impl=self.dw_impl, name=name)
+                           align=self.align, dw_impl=self.dw_impl,
+                           ffn_gelu=self.ffn_gelu, name=name)
 
         cor = gelu(sk(256, "convc1")(corr))
         cor = sk(192, "convc2")(cor)
@@ -128,6 +130,7 @@ class SKUpdateBlockTAMv3(nn.Module):
     # 324 not a multiple of batch group count 384") — reproduced on a lone
     # SKBlock grad; inference is unaffected.
     align: bool = True
+    ffn_gelu: str = "erf"
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, attn, compute_mask=None):
@@ -147,7 +150,8 @@ class SKUpdateBlockTAMv3(nn.Module):
 
         mf = SKMotionEncoder6(
             self.embed_dim, self.k_conv, dtype=self.dtype,
-            dw_impl=self.dw_impl, align=self.align, name="encoder"
+            dw_impl=self.dw_impl, align=self.align,
+            ffn_gelu=self.ffn_gelu, name="encoder"
         )(flat(flow), flat(corr))
 
         if self.use_gma:
@@ -171,7 +175,8 @@ class SKUpdateBlockTAMv3(nn.Module):
         )
         net_f = SKBlock(
             self.embed_dim, self.pc_updater_conv, dtype=self.dtype,
-            align=self.align, dw_impl=self.dw_impl, name="gru"
+            align=self.align, dw_impl=self.dw_impl,
+            ffn_gelu=self.ffn_gelu, name="gru"
         )(jnp.concatenate([flat(net), inp_cat], axis=-1))
 
         if self.joint_flow_head:
@@ -181,14 +186,16 @@ class SKUpdateBlockTAMv3(nn.Module):
             net_joint = net_joint.reshape(b, h, w, f * d)
             delta = SKBlock(
                 2 * f, self.k_conv, dtype=self.dtype, align=self.align,
-                dw_impl=self.dw_impl, name="flow_head"
+                dw_impl=self.dw_impl, ffn_gelu=self.ffn_gelu,
+                name="flow_head"
             )(net_joint)
             delta = delta.reshape(b, h, w, f, 2).transpose(0, 3, 1, 2, 4)
         else:
             # TAM v1: per-frame flow head (core/update.py:716, :726).
             delta = unflat(SKBlock(
                 2, self.k_conv, dtype=self.dtype, align=self.align,
-                dw_impl=self.dw_impl, name="flow_head"
+                dw_impl=self.dw_impl, ffn_gelu=self.ffn_gelu,
+                name="flow_head"
             )(net_f))
 
         mh = MaskHead(self.embed_dim, self.ratio,

@@ -52,12 +52,19 @@ _TWINS_VARIANTS = {
 }
 
 
+def _gelu_of(cfg: StreamFlowConfig) -> str:
+    """cfg.ffn_gelu with a leftover 'auto' materialized conservatively
+    (mirrors the dw_impl != 'auto' guard below for unresolved configs)."""
+    return cfg.ffn_gelu if cfg.ffn_gelu != "auto" else "erf"
+
+
 def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
                   train: bool = False):
     if cfg.encoder in _TWINS_VARIANTS:
         return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk,
                                             lga_impl=cfg.lga_impl,
                                             ffn_fused=cfg.twins_ffn_fused,
+                                            ffn_gelu=_gelu_of(cfg),
                                             dtype=dtype, name=name)
     if cfg.encoder == "umt":
         from streamflow_tpu.layers.umt import UMT
@@ -128,6 +135,7 @@ class _RefinementStep(nn.Module):
             joint_flow_head=cfg.update_block != "sk_tam_v1",
             temporal_zero_init=cfg.update_block != "sk_tam_v3_noinit",
             dw_impl=cfg.dw_impl if cfg.dw_impl != "auto" else "xla",
+            ffn_gelu=_gelu_of(cfg),
             # no lane-padding under autodiff: the padded depthwise weight
             # grad trips an XLA TPU miscompile (see SKUpdateBlockTAMv3.align)
             align=not self.train,

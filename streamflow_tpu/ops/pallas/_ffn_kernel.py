@@ -29,8 +29,34 @@ from jax.experimental.pallas import tpu as pltpu
 from streamflow_tpu.ops.pallas._dw_conv_kernel import _erf_f32
 
 
-def _gelu(x):
+# erf(x) ~ x * p(x^2) on [0,3], saturating outside (erf(3)=0.99998);
+# least-squares fit on Chebyshev nodes, abs-error weighted. max|err| 4.0e-4
+# — ~20x below the bf16 activation resolution (kernel output delta vs the
+# f32 composite is ~2.5e-2 with EITHER erf, dominated by bf16 operand
+# rounding); no VPU divide (the 4/6 rational in _erf_f32 pays one). The
+# kernels' elementwise chain costs about as many VPU cycles as their
+# matmuls cost MXU cycles, so this is an e2e win: 140.8 -> 129.1 ms/clip
+# at 436x1024 (r4s3). Selected by the ``gelu`` static arg / cfg.ffn_gelu.
+_ERF_POLY = (3.64476874220969839e-06, -1.35030047617407806e-04,
+             2.10968155734540678e-03, -1.83597971202626026e-02,
+             9.98778049755993935e-02, -3.67134565174511318e-01,
+             1.12662306241423282e+00)
+
+
+def _gelu_poly(x):
+    xc = jnp.clip(x, -3.0 * math.sqrt(2.0), 3.0 * math.sqrt(2.0))
+    t = xc * xc * 0.5
+    acc = jnp.full(t.shape, _ERF_POLY[0], jnp.float32)
+    for c in _ERF_POLY[1:]:
+        acc = acc * t + c
+    return x * 0.5 * (1.0 + xc * (1.0 / math.sqrt(2.0)) * acc)
+
+
+def _gelu_erf(x):
     return x * 0.5 * (1.0 + _erf_f32(x * (1.0 / math.sqrt(2.0))))
+
+
+_GELUS = {"erf": _gelu_erf, "poly": _gelu_poly}
 
 
 def _ln_f32(x, g, be, eps=1e-5):
@@ -45,7 +71,7 @@ def _ln_f32(x, g, be, eps=1e-5):
 
 def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
                  kw=None, kb=None, yres=None, db=None, ln=None,
-                 add_res=False):
+                 add_res=False, gelu="erf"):
     """Reference XLA composite (exact math of the kernel).
 
     Optional edge stages (the SK-block dw-chain elementwise work folded into
@@ -59,6 +85,7 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
       add_res: plain residual epilogue y = y + x_raw (the Twins block's
                x + mlp(LN(x)) — no gelu)
     """
+    _gelu = _GELUS[gelu]
     dt = x.dtype
     x_raw = x
     if ln is not None:
@@ -89,9 +116,10 @@ def ffn_pair_xla(x, w1, b1, w2, b2, residual=True, wp=None, bp=None,
 
 
 def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
-               k1_refs=None):
+               k1_refs=None, gelu="erf"):
     """Shared FFN-pair math: o = [gelu(x +)] gelu(x@W1+b1)@W2+b2,
     optionally followed by the k==1 dw-stage epilogue gelu(y + y*kw + kb)."""
+    _gelu = _GELUS[gelu]
     dt = x.dtype
     h = jax.lax.dot_general(
         x, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
@@ -110,21 +138,23 @@ def _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual):
-    _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, residual,
+            gelu):
+    _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
+               gelu=gelu)
 
 
 def _kernel_k1(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, kw_ref, kb_ref, o_ref,
-               *, residual):
+               *, residual, gelu):
     """FFN pair + the SK dw chain's k==1 elementwise stage as an epilogue:
     the erf-gelu residual runs on VMEM-resident data instead of as a
     standalone HBM pass between this kernel and the dw conv."""
     _pair_tail(x_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual,
-               k1_refs=(kw_ref, kb_ref))
+               k1_refs=(kw_ref, kb_ref), gelu=gelu)
 
 
 def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-               *, residual, add_res):
+               *, residual, add_res, gelu):
     """LayerNorm prologue + FFN pair + optional plain residual epilogue:
     o = [x +] pair(LN(x)). The Twins pre-norm MLP (x + mlp(norm2(x))) in one
     kernel: the normalized activation and the residual re-read never touch
@@ -136,6 +166,7 @@ def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
     xn = (xn * g_ref[...].astype(jnp.float32)
           + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    _gelu = _GELUS[gelu]
     dt = xn.dtype
     h = jax.lax.dot_general(
         xn, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
@@ -153,10 +184,11 @@ def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 
 
 def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-               *, residual):
+               *, residual, gelu):
     """Pointwise-residual pre-stage fused ahead of the FFN pair:
     x' = gelu(x + x @ Wp + bp), then the pair on x'. Saves the HBM round
     trip of x' between the SK block's pw conv and its second FFN."""
+    _gelu = _GELUS[gelu]
     x = x_ref[...]
     dt = x.dtype
     p = jax.lax.dot_general(
@@ -164,15 +196,16 @@ def _kernel_pw(x_ref, wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         preferred_element_type=jnp.float32)
     x = _gelu(x.astype(jnp.float32) + p
               + bp_ref[...].astype(jnp.float32)).astype(dt)
-    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
+    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual, gelu=gelu)
 
 
 def _kernel_dwres_pw(x_ref, y_ref, db_ref, wp_ref, bp_ref, w1_ref, b1_ref,
-                     w2_ref, b2_ref, o_ref, *, residual):
+                     w2_ref, b2_ref, o_ref, *, residual, gelu):
     """Residual-gelu prologue (the k>1 dw conv's bias + residual gelu) +
     pointwise stage + FFN pair: x' = gelu(x + y + db), then as _kernel_pw.
     Lets the cond-shielded dw branch return the RAW conv result — no
     elementwise work left inside the branch."""
+    _gelu = _GELUS[gelu]
     x = x_ref[...]
     dt = x.dtype
     x = _gelu(x.astype(jnp.float32) + y_ref[...].astype(jnp.float32)
@@ -182,7 +215,7 @@ def _kernel_dwres_pw(x_ref, y_ref, db_ref, wp_ref, bp_ref, w1_ref, b1_ref,
         preferred_element_type=jnp.float32)
     x = _gelu(x.astype(jnp.float32) + p
               + bp_ref[...].astype(jnp.float32)).astype(dt)
-    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual)
+    _pair_tail(x, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, residual, gelu=gelu)
 
 
 def _pick_block(n: int, target: int) -> int:
@@ -199,11 +232,11 @@ def _pick_block(n: int, target: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("residual", "add_res", "block_n",
-                                    "interpret"))
+                                    "interpret", "gelu"))
 def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
                   yres=None, db=None, ln_g=None, ln_b=None, residual=True,
                   add_res=False, block_n: int = 1024,
-                  interpret: bool = False):
+                  interpret: bool = False, gelu: str = "erf"):
     """x: (..., C); w1 (C, Ch); w2 (Ch, Co); optional pw pre-stage wp (C, C);
     optional k1 epilogue (kw, kb) (Co,); optional residual-gelu prologue
     (yres (..., C), db (C,)); optional LayerNorm prologue (ln_g, ln_b) (C,)
@@ -233,19 +266,20 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
         inputs += [y2, db.reshape(1, c)]
         in_specs += [row_spec, pl.BlockSpec((1, c), lambda i: (0, 0))]
         assert wp is not None, "prologue is only used with the pw stage"
-        kern = functools.partial(_kernel_dwres_pw, residual=residual)
+        kern = functools.partial(_kernel_dwres_pw, residual=residual,
+                                 gelu=gelu)
     elif ln_g is not None:
         assert wp is None and kw is None, "ln prologue is pair-only"
         inputs += [ln_g.reshape(1, c), ln_b.reshape(1, c)]
         in_specs += [pl.BlockSpec((1, c), lambda i: (0, 0))] * 2
         kern = functools.partial(_kernel_ln, residual=residual,
-                                 add_res=add_res)
+                                 add_res=add_res, gelu=gelu)
     elif wp is not None:
-        kern = functools.partial(_kernel_pw, residual=residual)
+        kern = functools.partial(_kernel_pw, residual=residual, gelu=gelu)
     elif kw is not None:
-        kern = functools.partial(_kernel_k1, residual=residual)
+        kern = functools.partial(_kernel_k1, residual=residual, gelu=gelu)
     else:
-        kern = functools.partial(_kernel, residual=residual)
+        kern = functools.partial(_kernel, residual=residual, gelu=gelu)
     if wp is not None:
         inputs += [wp, bp.reshape(1, c)]
         in_specs += [
@@ -282,44 +316,47 @@ def _ffn_pair_fwd(x, w1, b1, w2, b2, wp=None, bp=None, kw=None, kb=None,
     return out[:n].reshape(*orig_shape[:-1], co)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def ffn_pair(x, w1, b1, w2, b2, residual=True):
-    """Fused FFN pair; backward recomputes through the XLA composite."""
-    return _ffn_pair_fwd(x, w1, b1, w2, b2, residual=residual)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ffn_pair(x, w1, b1, w2, b2, residual=True, gelu="erf"):
+    """Fused FFN pair; backward recomputes through the XLA composite
+    (same gelu variant, so forward and backward numerics agree)."""
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, residual=residual, gelu=gelu)
 
 
-def _fwd(x, w1, b1, w2, b2, residual):
-    return ffn_pair(x, w1, b1, w2, b2, residual), (x, w1, b1, w2, b2)
+def _fwd(x, w1, b1, w2, b2, residual, gelu):
+    return ffn_pair(x, w1, b1, w2, b2, residual, gelu), (x, w1, b1, w2, b2)
 
 
-def _bwd(residual, res, g):
+def _bwd(residual, gelu, res, g):
     x, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
-        lambda *a: ffn_pair_xla(*a, residual=residual), x, w1, b1, w2, b2)
+        lambda *a: ffn_pair_xla(*a, residual=residual, gelu=gelu),
+        x, w1, b1, w2, b2)
     return vjp(g)
 
 
 ffn_pair.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual=True, gelu="erf"):
     """gelu(x + x@Wp + bp) pointwise-residual stage fused ahead of the FFN
     pair (the SK block's pw conv + second FFN in one kernel); backward
     recomputes through the XLA composite."""
-    return _ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, residual=residual)
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, residual=residual,
+                         gelu=gelu)
 
 
-def _pw_fwd(x, wp, bp, w1, b1, w2, b2, residual):
-    return (pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual),
+def _pw_fwd(x, wp, bp, w1, b1, w2, b2, residual, gelu):
+    return (pw_ffn_pair(x, wp, bp, w1, b1, w2, b2, residual, gelu),
             (x, wp, bp, w1, b1, w2, b2))
 
 
-def _pw_bwd(residual, res, g):
+def _pw_bwd(residual, gelu, res, g):
     x, wp, bp, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda xx, pp, pb, *a: ffn_pair_xla(
-            xx, *a, residual=residual, wp=pp, bp=pb),
+            xx, *a, residual=residual, wp=pp, bp=pb, gelu=gelu),
         x, wp, bp, w1, b1, w2, b2)
     return vjp(g)
 
@@ -327,25 +364,26 @@ def _pw_bwd(residual, res, g):
 pw_ffn_pair.defvjp(_pw_fwd, _pw_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual=True, gelu="erf"):
     """FFN pair + the SK dw chain's k==1 stage as an in-kernel epilogue
     (y = gelu(y + y*kw + kb)); backward recomputes through the XLA
     composite. Lets the subsequent cond-shielded dw conv branch start from
     this kernel's output with no standalone elementwise pass between."""
-    return _ffn_pair_fwd(x, w1, b1, w2, b2, kw=kw, kb=kb, residual=residual)
+    return _ffn_pair_fwd(x, w1, b1, w2, b2, kw=kw, kb=kb, residual=residual,
+                         gelu=gelu)
 
 
-def _k1_fwd(x, w1, b1, w2, b2, kw, kb, residual):
-    return (ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual),
+def _k1_fwd(x, w1, b1, w2, b2, kw, kb, residual, gelu):
+    return (ffn_pair_k1(x, w1, b1, w2, b2, kw, kb, residual, gelu),
             (x, w1, b1, w2, b2, kw, kb))
 
 
-def _k1_bwd(residual, res, g):
+def _k1_bwd(residual, gelu, res, g):
     x, w1, b1, w2, b2, kw, kb = res
     _, vjp = jax.vjp(
         lambda xx, *a: ffn_pair_xla(xx, *a[:4], residual=residual,
-                                    kw=a[4], kb=a[5]),
+                                    kw=a[4], kb=a[5], gelu=gelu),
         x, w1, b1, w2, b2, kw, kb)
     return vjp(g)
 
@@ -353,8 +391,9 @@ def _k1_bwd(residual, res, g):
 ffn_pair_k1.defvjp(_k1_fwd, _k1_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual=False,
+                      gelu="erf"):
     """Residual-gelu prologue over the dw conv's raw result
     (x' = gelu(x + y + db)) + pointwise stage + FFN pair in one kernel;
     backward recomputes through the XLA composite. With ffn_pair_k1 this
@@ -362,19 +401,21 @@ def dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual=False):
     residual erf-gelus) into the MXU-bound FFN kernels, leaving the
     cond-shielded branch pure convolution."""
     return _ffn_pair_fwd(x, w1, b1, w2, b2, wp=wp, bp=bp, yres=y, db=db,
-                         residual=residual)
+                         residual=residual, gelu=gelu)
 
 
-def _dwres_fwd(x, y, db, wp, bp, w1, b1, w2, b2, residual):
-    return (dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual),
+def _dwres_fwd(x, y, db, wp, bp, w1, b1, w2, b2, residual, gelu):
+    return (dwres_pw_ffn_pair(x, y, db, wp, bp, w1, b1, w2, b2, residual,
+                              gelu),
             (x, y, db, wp, bp, w1, b1, w2, b2))
 
 
-def _dwres_bwd(residual, res, g):
+def _dwres_bwd(residual, gelu, res, g):
     x, y, db, wp, bp, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda xx, yy, dd, pp, pb, *a: ffn_pair_xla(
-            xx, *a, residual=residual, wp=pp, bp=pb, yres=yy, db=dd),
+            xx, *a, residual=residual, wp=pp, bp=pb, yres=yy, db=dd,
+            gelu=gelu),
         x, y, db, wp, bp, w1, b1, w2, b2)
     return vjp(g)
 
@@ -382,25 +423,26 @@ def _dwres_bwd(residual, res, g):
 dwres_pw_ffn_pair.defvjp(_dwres_fwd, _dwres_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res=True, gelu="erf"):
     """LayerNorm prologue + FFN pair + plain residual epilogue in one kernel
     (the Twins pre-norm MLP, x + mlp(norm2(x)) — reference timm
     twins.Block.forward); backward recomputes through the XLA composite."""
     return _ffn_pair_fwd(x, w1, b1, w2, b2, ln_g=g, ln_b=be,
-                         residual=False, add_res=add_res)
+                         residual=False, add_res=add_res, gelu=gelu)
 
 
-def _ln_fwd(x, g, be, w1, b1, w2, b2, add_res):
-    return (ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res),
+def _ln_fwd(x, g, be, w1, b1, w2, b2, add_res, gelu):
+    return (ln_ffn_pair(x, g, be, w1, b1, w2, b2, add_res, gelu),
             (x, g, be, w1, b1, w2, b2))
 
 
-def _ln_bwd(add_res, res, gr):
+def _ln_bwd(add_res, gelu, res, gr):
     x, g, be, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda xx, gg, bb, *a: ffn_pair_xla(
-            xx, *a, residual=False, ln=(gg, bb), add_res=add_res),
+            xx, *a, residual=False, ln=(gg, bb), add_res=add_res,
+            gelu=gelu),
         x, g, be, w1, b1, w2, b2)
     return vjp(gr)
 

@@ -171,3 +171,30 @@ def test_edge_fused_grads_match_xla(monkeypatch):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
                                    rtol=5e-3)
+
+
+def test_poly_gelu_accuracy():
+    """The divide-free erf polynomial (cfg.ffn_gelu='poly'): max|gelu error|
+    <= 2.5e-3 absolute over a wide input range (the fitted erf bound is
+    4.0e-4; the gelu wrap scales it by |x|/2 within the clip window) and the
+    kernel output with gelu='poly' matches its own XLA composite exactly."""
+    x = jnp.linspace(-12.0, 12.0, 20001, dtype=jnp.float32)
+    ref = np.asarray(K._gelu_erf(x))
+    out = np.asarray(K._gelu_poly(x))
+    assert np.max(np.abs(out - ref)) < 2.5e-3
+    # saturated tails: poly gelu ~ identity / zero
+    assert abs(float(K._gelu_poly(jnp.float32(10.0))) - 10.0) < 2e-3
+    assert abs(float(K._gelu_poly(jnp.float32(-10.0)))) < 2e-3
+
+    rng = np.random.default_rng(7)
+    c, ch = 128, 192
+    xr = jnp.asarray(rng.standard_normal((2, 6, 40, c)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng, c, ch, c)
+    ref = K.ffn_pair_xla(xr, w1, b1, w2, b2, residual=True, gelu="poly")
+    out = K._ffn_pair_fwd(xr, w1, b1, w2, b2, residual=True, gelu="poly",
+                          block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=5e-5)
+    # and the poly pair stays within float tolerance of the erf pair
+    erf_ref = K.ffn_pair_xla(xr, w1, b1, w2, b2, residual=True)
+    assert float(jnp.max(jnp.abs(out - erf_ref))) < 0.05
