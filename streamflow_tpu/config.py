@@ -88,6 +88,12 @@ class StreamFlowConfig:
     # Volume planes per loop step inside the fused lookup kernel (a bigger
     # slab halves the dynamic-trip loop overhead; costs VMEM + edge rows).
     lookup_unroll: int = 4
+    # Storage layout of the prepared fmap2 pyramid levels for the fused
+    # lookup kernel: 'w' = (Hl, Wp, C) (C minor — the kernel's volume matmul
+    # contracts a transposed RHS); 'c' = (Hl, C, Wp) (C-major — per-row
+    # natively-oriented (Q,C)@(C,Wp) matmuls; one extra build-time
+    # transpose per level, outside the refinement loop).
+    lookup_f2_major: str = "w"
     # Query-chunk size for memory-bounded global-subsample attention inside the
     # Twins encoder; 0 = no chunking.
     gsa_chunk: int = 0

@@ -200,7 +200,8 @@ class StreamFlow(nn.Module):
             pyramid = PallasCorr.build(f1, f2, cfg.corr_levels,
                                        cfg.corr_radius,
                                        block_q=cfg.lookup_block_q,
-                                       unroll=cfg.lookup_unroll)
+                                       unroll=cfg.lookup_unroll,
+                                       f2_major=cfg.lookup_f2_major)
         elif cfg.corr_impl == "chunked":
             from streamflow_tpu.ops.corr import ChunkedCorr
 

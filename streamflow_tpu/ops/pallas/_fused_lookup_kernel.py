@@ -64,7 +64,7 @@ def _wp_of(wl: int, r: int) -> int:
 
 
 def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
-                  scale: float, unroll: int = UNROLL):
+                  scale: float, unroll: int = UNROLL, f2_major: str = "w"):
     UNROLL = unroll
     n_levels = len(meta)
     f2_refs = refs[:n_levels]
@@ -121,14 +121,28 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
         def body(step, _, l=l, y0=y0, hmin=hmin, wp=wp,
                  n_tiles=n_tiles, gidx_t=gidx_t, tile_of=tile_of):
             h0 = hmin + step * UNROLL
-            slab = f2_refs[l][0, pl.ds(h0, UNROLL)]  # (U, wp, C)
-            plane = jax.lax.dot_general(
-                f1c, slab.reshape(UNROLL * wp, slab.shape[-1]),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # (Q, U*wp)
+            if f2_major == "c":
+                # C-major level storage (U, C, wp): each row's matmul is the
+                # MXU's native (Q, C) @ (C, wp) orientation — no transposed-
+                # RHS contraction for Mosaic to lower.
+                slab = f2_refs[l][0, pl.ds(h0, UNROLL)]  # (U, C, wp)
+                plane = None
+            else:
+                slab = f2_refs[l][0, pl.ds(h0, UNROLL)]  # (U, wp, C)
+                plane = jax.lax.dot_general(
+                    f1c, slab.reshape(UNROLL * wp, slab.shape[-1]),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # (Q, U*wp)
             for u in range(UNROLL):
-                pu = plane[:, u * wp:(u + 1) * wp]
+                if plane is None:
+                    pu = jax.lax.dot_general(
+                        f1c, slab[u],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # (Q, wp)
+                else:
+                    pu = plane[:, u * wp:(u + 1) * wp]
                 win = jnp.take_along_axis(pu[:, :128], gidx_t[0], axis=1)
                 for t in range(1, n_tiles):
                     gt = jnp.take_along_axis(
@@ -154,7 +168,7 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
 
 
 def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
-                   unroll: int = UNROLL):
+                   unroll: int = UNROLL, f2_major: str = "w"):
     UNROLL = unroll
     """Pad the refinement-loop-INVARIANT kernel operands once: f1 row-padded
     to a whole number of query blocks, every f2 level lane-padded (PAD_L +
@@ -162,6 +176,10 @@ def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
     time keeps ~35 MB/iteration of pad copies out of the scan body (XLA does
     not hoist pads feeding a custom call out of a while loop — measured as
     per-call %pad ops in the r3 trace).
+
+    ``f2_major='c'`` stores each level (B, Hl+U-1, C, Wp) — C-major — so the
+    kernel's per-row volume matmul is natively oriented (one extra XLA
+    transpose per level at build time, outside the refinement loop).
 
     Returns (f1p (B, n_tot, C), f2p tuple, meta tuple of (hl, wl))."""
     b, h, w, c = fmap1.shape
@@ -180,30 +198,38 @@ def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
         wp = _wp_of(wl, r)
         # right pad to the tile width + UNROLL-1 zero rows at the bottom so
         # the unrolled slab slice never clamps
-        f2p.append(jnp.pad(
-            f2, ((0, 0), (0, UNROLL - 1), (PAD_L, wp - PAD_L - wl), (0, 0))))
+        lvl = jnp.pad(
+            f2, ((0, 0), (0, UNROLL - 1), (PAD_L, wp - PAD_L - wl), (0, 0)))
+        if f2_major == "c":
+            lvl = lvl.transpose(0, 1, 3, 2)  # (B, Hl+U-1, C, Wp)
+        f2p.append(lvl)
     return f1, tuple(f2p), tuple(meta)
 
 
-def unprepare_inputs(f1p, f2p, meta, h, w):
+def unprepare_inputs(f1p, f2p, meta, h, w, f2_major: str = "w"):
     """Slice the original (fmap1, f2_levels) back out of prepared operands
     (used by the recompute backward and the off-TPU fallback)."""
     b, _, c = f1p.shape
     fmap1 = f1p[:, : h * w].reshape(b, h, w, c)
-    f2_levels = tuple(
-        lvl[:, :hl, PAD_L:PAD_L + wl]
-        for lvl, (hl, wl) in zip(f2p, meta))
+    if f2_major == "c":
+        f2_levels = tuple(
+            lvl[:, :hl, :, PAD_L:PAD_L + wl].transpose(0, 1, 3, 2)
+            for lvl, (hl, wl) in zip(f2p, meta))
+    else:
+        f2_levels = tuple(
+            lvl[:, :hl, PAD_L:PAD_L + wl]
+            for lvl, (hl, wl) in zip(f2p, meta))
     return fmap1, f2_levels
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "radius", "out_dtype", "block_q", "interpret",
-                     "unroll"))
+                     "unroll", "f2_major"))
 def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
                                out_dtype=None, block_q: int = 512,
                                interpret: bool = False,
-                               unroll: int = UNROLL):
+                               unroll: int = UNROLL, f2_major: str = "w"):
     UNROLL = unroll
     """Lookup against operands pre-padded by :func:`prepare_inputs` — the
     per-iteration work is only the (B, N, 2L) index/frac computation plus the
@@ -249,7 +275,7 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     grid = (b, n_tot // block_q)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, meta=tuple(meta), radius=r,
-                          scale=scale, unroll=UNROLL),
+                          scale=scale, unroll=UNROLL, f2_major=f2_major),
         out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels * 128), out_dtype),
         grid=grid,
         in_specs=[
@@ -257,7 +283,9 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
             pl.BlockSpec((1, block_q, 2 * n_levels), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
         ] + [
-            pl.BlockSpec((1, hl + UNROLL - 1, _wp_of(wl, r), c),
+            pl.BlockSpec(((1, hl + UNROLL - 1, c, _wp_of(wl, r))
+                          if f2_major == "c"
+                          else (1, hl + UNROLL - 1, _wp_of(wl, r), c)),
                          lambda bi, qi: (bi, 0, 0, 0))
             for (hl, wl) in meta
         ],
@@ -285,16 +313,18 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     static_argnames=("radius", "out_dtype", "block_q", "interpret", "unroll"))
 def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
                       out_dtype=None, block_q: int = 512,
-                      interpret: bool = False, unroll: int = UNROLL):
+                      interpret: bool = False, unroll: int = UNROLL,
+                      f2_major: str = "w"):
     """One-shot convenience wrapper: prepare + lookup in one call (pads the
     invariant operands every time — inside a refinement loop use
     :func:`prepare_inputs` once and :func:`fused_corr_lookup_prepared` per
     iteration instead)."""
     f1p, f2p, meta = prepare_inputs(fmap1, f2_levels, radius, block_q,
-                                    unroll=unroll)
+                                    unroll=unroll, f2_major=f2_major)
     return fused_corr_lookup_prepared(
         f1p, f2p, coords, meta, radius=radius, out_dtype=out_dtype,
-        block_q=block_q, interpret=interpret, unroll=unroll)
+        block_q=block_q, interpret=interpret, unroll=unroll,
+        f2_major=f2_major)
 
 
 def pool_pyramid(fmap2, num_levels: int = 4):

@@ -51,19 +51,20 @@ def _xla_equiv(fmap1, f2_levels, coords, radius: int):
                        w=w).lookup(coords)
 
 
-def _xla_equiv_prepared(f1p, f2p, coords, meta, radius):
+def _xla_equiv_prepared(f1p, f2p, coords, meta, radius, f2_major="w"):
     from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
         unprepare_inputs,
     )
 
     h, w = coords.shape[1], coords.shape[2]
-    fmap1, f2_levels = unprepare_inputs(f1p, f2p, meta, h, w)
+    fmap1, f2_levels = unprepare_inputs(f1p, f2p, meta, h, w,
+                                        f2_major=f2_major)
     return _xla_equiv(fmap1, f2_levels, coords, radius)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
-                  unroll):
+                  unroll, f2_major):
     """Lookup on prepare_inputs-padded operands (differentiable)."""
     if jax.default_backend() == "tpu":
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
@@ -77,22 +78,24 @@ def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
             (f1p, tuple(f2p), coords))
         return fused_corr_lookup_prepared(f1p, tuple(f2p), coords, meta,
                                           radius=radius, out_dtype=out_dtype,
-                                          block_q=block_q, unroll=unroll)
-    out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius)
+                                          block_q=block_q, unroll=unroll,
+                                          f2_major=f2_major)
+    out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius, f2_major)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q, unroll):
+def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q, unroll,
+               f2_major):
     return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype,
-                         block_q, unroll), (f1p, f2p, coords)
+                         block_q, unroll, f2_major), (f1p, f2p, coords)
 
 
-def _fused_bwd(meta, radius, out_dtype, block_q, unroll, res, g):
+def _fused_bwd(meta, radius, out_dtype, block_q, unroll, f2_major, res, g):
     import jax.numpy as jnp
 
     f1p, f2p, coords = res
     _, vjp = jax.vjp(
-        lambda a, b, c: _xla_equiv_prepared(a, b, c, meta, radius),
+        lambda a, b, c: _xla_equiv_prepared(a, b, c, meta, radius, f2_major),
         f1p, f2p, coords)
     return vjp(g.astype(jnp.float32))
 
@@ -108,10 +111,13 @@ class PallasCorr:
     radius: int = flax.struct.field(pytree_node=False)
     block_q: int = flax.struct.field(pytree_node=False, default=512)
     unroll: int = flax.struct.field(pytree_node=False, default=4)
+    # 'w': levels stored (B, Hl+U-1, Wp, C); 'c': C-major (B, Hl+U-1, C, Wp)
+    # so the kernel's per-row volume matmul is natively oriented.
+    f2_major: str = flax.struct.field(pytree_node=False, default="w")
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,
-              block_q: int = 512, unroll: int = 4):
+              block_q: int = 512, unroll: int = 4, f2_major: str = "w"):
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
             pool_pyramid,
             prepare_inputs,
@@ -119,14 +125,14 @@ class PallasCorr:
 
         f1p, f2p, meta = prepare_inputs(
             fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius,
-            block_q=block_q, unroll=unroll)
+            block_q=block_q, unroll=unroll, f2_major=f2_major)
         return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius,
-                   block_q=block_q, unroll=unroll)
+                   block_q=block_q, unroll=unroll, f2_major=f2_major)
 
     def lookup(self, coords, out_dtype=None):
         out = _fused_lookup(self.f1p, self.f2p, coords, self.meta,
                             self.radius, out_dtype, self.block_q,
-                            self.unroll)
+                            self.unroll, self.f2_major)
         # The Mosaic custom-call pins default layouts on its operands and
         # results; without a barrier XLA propagates that layout pressure
         # through the scan body and drops the spatially-tiled convolution

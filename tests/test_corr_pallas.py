@@ -180,3 +180,61 @@ def test_prepare_unprepare_roundtrip():
     out2 = fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius=4,
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_fused_lookup_f2_major_c_matches_w():
+    """C-major prepared levels (f2_major='c': per-row natively-oriented
+    volume matmuls) must produce bit-identical output to the default 'w'
+    layout, and unprepare must roundtrip the transposed storage."""
+    from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
+        fused_corr_lookup_prepared,
+        pool_pyramid,
+        prepare_inputs,
+        unprepare_inputs,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 12, 20, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    levels = tuple(pool_pyramid(f2, 4))
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-4, 4, (B, H, W, 2)), jnp.float32)
+
+    f1w, f2w, meta = prepare_inputs(f1, levels, radius=4)
+    f1c, f2c, meta_c = prepare_inputs(f1, levels, radius=4, f2_major="c")
+    assert meta == meta_c
+    for lw, lc in zip(f2w, f2c):
+        assert lc.shape == (lw.shape[0], lw.shape[1], lw.shape[3],
+                            lw.shape[2])
+
+    f1r, levels_r = unprepare_inputs(f1c, f2c, meta, H, W, f2_major="c")
+    np.testing.assert_array_equal(np.asarray(f1r), np.asarray(f1))
+    for a, b in zip(levels_r, levels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_w = fused_corr_lookup_prepared(f1w, f2w, coords, meta, radius=4,
+                                       interpret=True)
+    out_c = fused_corr_lookup_prepared(f1c, f2c, coords, meta, radius=4,
+                                       interpret=True, f2_major="c")
+    np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_c))
+
+
+def test_model_pallas_corr_f2_major_c():
+    """The cfg.lookup_f2_major='c' path through PallasCorr must match the
+    default layout end-to-end (same kernel math, relayouted storage)."""
+    from streamflow_tpu.ops.pallas.corr import PallasCorr
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 12, 16, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-2, 2, (B, H, W, 2)), jnp.float32)
+
+    pw = PallasCorr.build(f1, f2, 4, 4)
+    pc = PallasCorr.build(f1, f2, 4, 4, f2_major="c")
+    # off-TPU both route through the XLA equivalent via unprepare
+    np.testing.assert_allclose(np.asarray(pw.lookup(coords)),
+                               np.asarray(pc.lookup(coords)),
+                               atol=1e-5, rtol=1e-5)

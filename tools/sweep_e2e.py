@@ -40,6 +40,7 @@ _KEYMAP = {
     "tffn": "twins_ffn_fused",
     "bq": "lookup_block_q",
     "lu": "lookup_unroll",
+    "lmaj": "lookup_f2_major",
     "gelu": "ffn_gelu",
 }
 _INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q", "lookup_unroll"}
