@@ -81,6 +81,44 @@ def main():
                                       corr_impl="xla", attn_impl="full",
                                       dw_impl="xla"))
 
+    # ---- accuracy guard ------------------------------------------------
+    # The perf path must not silently corrupt numerics as knobs land: run
+    # the SAME fixed clip through (a) the default kernel set at f32 and
+    # (b) the plain-XLA composite at f32, and bound the max endpoint error
+    # between the two flow fields. f32-vs-f32 isolates the custom kernels
+    # from bf16 iteration chaos (ROADMAP r3s5: any summation-order change
+    # at bf16 diverges ~2 px on random weights over 12 iterations); the
+    # measured kernel-set delta is ~2e-3 px (BASELINE.md r5), so 0.05 px
+    # catches real corruption with 25x margin. MAX_EPE_TOL documented in
+    # BASELINE.md.
+    MAX_EPE_TOL = 0.05
+
+    def flows_of(cfg):
+        model = create_model("streamflow", cfg=cfg)
+        params = jax.jit(lambda k, x: model.init(k, x, test_mode=True))(
+            jax.random.PRNGKey(0), imgs
+        )
+        return jax.jit(
+            lambda p, x: model.apply(p, x, test_mode=True))(params, imgs)
+
+    max_epe = None
+    if not fallback:
+        fast = flows_of(StreamFlowConfig(T=T, iters=12,
+                                         mixed_precision=False))
+        ref = flows_of(StreamFlowConfig(T=T, iters=12, mixed_precision=False,
+                                        corr_impl="xla", attn_impl="full",
+                                        dw_impl="xla", lga_impl="xla",
+                                        twins_ffn_fused=False,
+                                        ffn_gelu="erf"))
+        epe = jnp.sqrt(jnp.sum((fast - ref) ** 2, axis=-1))
+        max_epe = float(jnp.max(epe))
+        assert max_epe < MAX_EPE_TOL, (
+            f"accuracy guard FAILED: max EPE between the default kernel set "
+            f"and the f32 XLA composite is {max_epe:.4f} px "
+            f"(tolerance {MAX_EPE_TOL})"
+        )
+        del fast, ref, epe
+
     # Measure the RTT+dispatch floor with a trivial executable.
     @jax.jit
     def nop(eps):
@@ -111,6 +149,8 @@ def main():
         "ms_per_clip": round(1e3 * dt, 2),
         "rtt_floor_ms": round(1e3 * floor / n_rep, 2),
         "check": r,
+        **({"max_epe_vs_f32_composite": round(max_epe, 6)}
+           if max_epe is not None else {}),
         **({"fallback_config": "xla/full/xla"} if fallback else {}),
     }))
 

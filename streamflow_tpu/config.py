@@ -94,9 +94,10 @@ class StreamFlowConfig:
     # natively-oriented (Q,C)@(C,Wp) matmuls; one extra build-time
     # transpose per level, outside the refinement loop).
     lookup_f2_major: str = "w"
-    # Query-chunk size for memory-bounded global-subsample attention inside the
-    # Twins encoder; 0 = no chunking.
-    gsa_chunk: int = 0
+    # Force the Twins global-subsample attention through the Pallas flash
+    # kernel (O(n) memory, exact math) even below the 16k-token auto
+    # threshold where it engages regardless.
+    gsa_flash: bool = False
     # Locally-grouped (windowed) attention inside the Twins encoder:
     # "pallas" fuses window partition + qkv + softmax + proj into one
     # VMEM-resident kernel (ops/pallas/_lga_kernel.py) and switches the
@@ -202,7 +203,7 @@ class StreamFlowConfig:
         if n_tokens <= 10_000:
             return self
         return dataclasses.replace(self, corr_impl="pallas",
-                                   attn_impl="flash", gsa_chunk=8192)
+                                   attn_impl="flash", gsa_flash=True)
 
 
 @dataclasses.dataclass(frozen=True)

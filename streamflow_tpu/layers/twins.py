@@ -18,8 +18,8 @@ TPU design notes:
 - Everything is (B, N, C) tokens with static (Ht, W) grid sizes, NHWC for the
   convs; all matmuls are MXU-shaped (C in {128, 256}).
 - The GSA attention map is N x (N/sr^2); for 1080p inputs it dominates memory,
-  so ``chunk`` splits the query axis into VMEM-sized slabs under lax.map
-  (exact same math, bounded memory). A Pallas flash path can replace it later.
+  so ``gsa_flash`` routes it through the Pallas flash-attention kernel (exact
+  same math, O(n) memory); it auto-engages above 16k tokens either way.
 """
 
 from __future__ import annotations
@@ -172,13 +172,14 @@ class LocallyGroupedAttn(nn.Module):
 
 class GlobalSubSampleAttn(nn.Module):
     """Global attention with sr_ratio-subsampled keys/values (timm
-    GlobalSubSampleAttn). ``chunk`` > 0 streams the query axis through
-    lax.map to bound the attention-map footprint at high resolution."""
+    GlobalSubSampleAttn). ``gsa_flash`` forces the flash-attention path
+    (auto-engaged anyway above 16k tokens) instead of the materialized
+    (n, m) logits einsum."""
 
     dim: int
     num_heads: int
     sr_ratio: int
-    chunk: int = 0
+    gsa_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -212,7 +213,7 @@ class GlobalSubSampleAttn(nn.Module):
         # logits through HBM (~12 ms/clip measured on v5e). The flash path
         # (Pallas kernel on TPU, streaming-softmax scan elsewhere) keeps the
         # logits in VMEM: exact same math, O(n) memory.
-        if self.chunk or n > 16384:
+        if self.gsa_flash or n > 16384:
             from streamflow_tpu.ops.pallas.attention import flash_attention
 
             out = flash_attention(q, k, v, scaled=True)
@@ -243,7 +244,7 @@ class TwinsBlock(nn.Module):
     mlp_ratio: int = 4
     sr_ratio: int = 1
     ws: Optional[int] = None
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     # Run the MLP pair as one Pallas ffn_pair kernel (the 4x hidden never
     # round-trips HBM). Independent of lga_impl='pallas' (which also implies
@@ -279,7 +280,7 @@ class TwinsBlock(nn.Module):
 
         if self.ws is None:
             attn = GlobalSubSampleAttn(
-                self.dim, self.num_heads, self.sr_ratio, chunk=self.chunk,
+                self.dim, self.num_heads, self.sr_ratio, gsa_flash=self.gsa_flash,
                 dtype=self.dtype, name="attn")
         else:
             attn = LocallyGroupedAttn(
@@ -334,7 +335,7 @@ class _TwinsStages(nn.Module):
     temporal hooks (``block_temporal``)."""
 
     temporal: bool = True
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -360,7 +361,7 @@ class _TwinsStages(nn.Module):
                 ws = cfg["ws"] if j % 2 == 0 else None
                 x = TwinsBlock(
                     dim, cfg["num_heads"][i], cfg["mlp_ratios"][i],
-                    cfg["sr_ratios"][i], ws=ws, chunk=self.chunk,
+                    cfg["sr_ratios"][i], ws=ws, gsa_flash=self.gsa_flash,
                     lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                     ffn_gelu=self.ffn_gelu,
                     temporal=self.block_temporal,
@@ -385,7 +386,7 @@ class TwinsCSC(nn.Module):
     (B, T, H, W, 3) -> (B, T, H/8, W/8, 256).
     """
 
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -393,7 +394,7 @@ class TwinsCSC(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=True, chunk=self.chunk,
+        return _TwinsStages(temporal=True, gsa_flash=self.gsa_flash,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             ffn_gelu=self.ffn_gelu,
                             dtype=self.dtype, name="stages")(x)
@@ -403,7 +404,7 @@ class Twins(nn.Module):
     """Plain per-frame Twins-SVT-Large stages 1-2 (reference
     core/encoders/twins.py:15-52): no temporal mixing."""
 
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -411,7 +412,7 @@ class Twins(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=False, chunk=self.chunk,
+        return _TwinsStages(temporal=False, gsa_flash=self.gsa_flash,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             ffn_gelu=self.ffn_gelu,
                             dtype=self.dtype, name="stages")(x)
@@ -421,7 +422,7 @@ class Twins1DConv(nn.Module):
     """Per-frame SVT with a dirac-init depth-3 temporal Conv1d on each MLP
     branch (reference core/encoders/twins_1dconv.py:50-120)."""
 
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -429,7 +430,7 @@ class Twins1DConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=False, chunk=self.chunk,
+        return _TwinsStages(temporal=False, gsa_flash=self.gsa_flash,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             ffn_gelu=self.ffn_gelu,
                             block_temporal="1dconv", dtype=self.dtype,
@@ -440,7 +441,7 @@ class TwinsTemporalAttention(nn.Module):
     """Per-frame SVT with zero-init temporal self-attention before each
     spatial attention (reference core/encoders/twins_temporal_attention.py)."""
 
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -448,7 +449,7 @@ class TwinsTemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _TwinsStages(temporal=False, chunk=self.chunk,
+        return _TwinsStages(temporal=False, gsa_flash=self.gsa_flash,
                             lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                             ffn_gelu=self.ffn_gelu,
                             block_temporal="attn", dtype=self.dtype,
@@ -459,7 +460,7 @@ class Twins3DConv(nn.Module):
     """Plain per-frame SVT + a single dirac-init 3x3x3 Conv over (T, H, W) at
     the end (reference core/encoders/twins_3dconv.py:16-70)."""
 
-    chunk: int = 0
+    gsa_flash: bool = False
     lga_impl: str = "xla"
     ffn_fused: bool = False
     ffn_gelu: str = "erf"
@@ -467,7 +468,7 @@ class Twins3DConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = _TwinsStages(temporal=False, chunk=self.chunk,
+        y = _TwinsStages(temporal=False, gsa_flash=self.gsa_flash,
                          lga_impl=self.lga_impl, ffn_fused=self.ffn_fused,
                          ffn_gelu=self.ffn_gelu,
                          dtype=self.dtype, name="stages")(x)

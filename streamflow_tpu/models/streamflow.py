@@ -61,7 +61,7 @@ def _gelu_of(cfg: StreamFlowConfig) -> str:
 def _make_encoder(cfg: StreamFlowConfig, dtype, norm_fn: str, name: str,
                   train: bool = False):
     if cfg.encoder in _TWINS_VARIANTS:
-        return _TWINS_VARIANTS[cfg.encoder](chunk=cfg.gsa_chunk,
+        return _TWINS_VARIANTS[cfg.encoder](gsa_flash=cfg.gsa_flash,
                                             lga_impl=cfg.lga_impl,
                                             ffn_fused=cfg.twins_ffn_fused,
                                             ffn_gelu=_gelu_of(cfg),

@@ -169,7 +169,6 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
 
 def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
                    unroll: int = UNROLL, f2_major: str = "w"):
-    UNROLL = unroll
     """Pad the refinement-loop-INVARIANT kernel operands once: f1 row-padded
     to a whole number of query blocks, every f2 level lane-padded (PAD_L +
     tile-width right pad + UNROLL-1 zero rows). Calling this at volume-build
@@ -182,6 +181,8 @@ def prepare_inputs(fmap1, f2_levels, radius: int = 4, block_q: int = 512,
     transpose per level at build time, outside the refinement loop).
 
     Returns (f1p (B, n_tot, C), f2p tuple, meta tuple of (hl, wl))."""
+    assert f2_major in ("w", "c"), f"f2_major must be 'w' or 'c', got {f2_major!r}"
+    UNROLL = unroll
     b, h, w, c = fmap1.shape
     n = h * w
     r = radius
@@ -230,12 +231,13 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
                                out_dtype=None, block_q: int = 512,
                                interpret: bool = False,
                                unroll: int = UNROLL, f2_major: str = "w"):
-    UNROLL = unroll
     """Lookup against operands pre-padded by :func:`prepare_inputs` — the
     per-iteration work is only the (B, N, 2L) index/frac computation plus the
     kernel itself. coords (B,H,W,2) level-0 pixel xy. Returns
     (B,H,W,L*(2r+1)^2), channels level-major then x-major windows (reference
     layout)."""
+    assert f2_major in ("w", "c"), f"f2_major must be 'w' or 'c', got {f2_major!r}"
+    UNROLL = unroll
     b, h, w, _ = coords.shape
     c = f1p.shape[-1]
     n = h * w
@@ -310,7 +312,8 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "out_dtype", "block_q", "interpret", "unroll"))
+    static_argnames=("radius", "out_dtype", "block_q", "interpret", "unroll",
+                     "f2_major"))
 def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
                       out_dtype=None, block_q: int = 512,
                       interpret: bool = False, unroll: int = UNROLL,

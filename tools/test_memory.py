@@ -38,7 +38,7 @@ def main():
 
     cfg = StreamFlowConfig(T=args.T, iters=args.iters, mixed_precision=True,
                            attn_impl="flash", corr_impl=args.corr_impl,
-                           gsa_chunk=8192)
+                           gsa_flash=True)
     model = create_model("streamflow", cfg=cfg)
 
     rng = np.random.default_rng(0)
