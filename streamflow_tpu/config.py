@@ -99,15 +99,12 @@ class StreamFlowConfig:
     # threshold where it engages regardless.
     gsa_flash: bool = False
     # Locally-grouped (windowed) attention inside the Twins encoder:
-    # "pallas" fuses window partition + qkv + softmax + proj into one
-    # VMEM-resident kernel (ops/pallas/_lga_kernel.py) and switches the
-    # Twins MLPs to the fused ffn_pair kernel; "xla" is the
-    # reshape/transpose composite. "auto" resolves to "xla" on every
-    # backend: the fused kernel compiles only in interpret mode — the real
-    # Mosaic toolchain rejects its qkv 5-D head-split reshape
-    # ("infer-vector-layout: unsupported shape cast", hd=32 < one lane
-    # tile; measured r3s4, ROADMAP.md) — so "pallas" is debug-only until
-    # the kernel is restructured head-major.
+    # "pallas" runs the head-major hybrid kernel (window partition +
+    # per-head masked-matmul attention in VMEM; qkv/proj Dense stay XLA —
+    # ops/pallas/_lga_kernel.py v2; the r3s4 v1 whole-block kernel was
+    # rejected by real-toolchain Mosaic on its sub-lane-tile head-split
+    # reshape and is gone). "xla" is the reshape/transpose composite.
+    # "auto" resolves per measurement (config.resolve()).
     lga_impl: str = "auto"
     # Run each Twins MLP pair (fc1 -> gelu -> fc2) as one Pallas ffn_pair
     # kernel so the 4x-hidden activation never round-trips HBM — independent
@@ -159,7 +156,7 @@ class StreamFlowConfig:
     def corr_planes(self) -> int:
         return self.corr_levels * (2 * self.corr_radius + 1) ** 2
 
-    def resolve(self) -> "StreamFlowConfig":
+    def resolve(self, training: bool = False) -> "StreamFlowConfig":
         """Materialize 'auto' kernel choices for the active jax backend.
 
         Measured on v5e (440x1024, T=4, 12 iters, r3): fused Pallas lookup +
@@ -167,7 +164,20 @@ class StreamFlowConfig:
         materialized-volume XLA path and 195.3 for pallas + unshielded convs.
         Off-TPU (CPU tests, multichip dryrun) everything resolves to the
         portable XLA forms. Parameter layout is identical across all
-        resolutions, so checkpoints are backend-portable."""
+        resolutions, so checkpoints are backend-portable.
+
+        ``training=True`` (the model passes its ``train`` flag) splits the
+        dw resolution: the TPU TRAINING default is ``banded_mxu`` — the
+        per-channel banded-matmul Pallas kernel whose gradients are dots
+        only (no conv-weight-grad HLO, so the lane-padded ``align`` path
+        stays on under autodiff — the XLA TPU miscompile it trips is
+        specific to padded depthwise conv weight grads — and no
+        data-dependent lax.cond shield sits inside the differentiated
+        loop). Inference keeps ``xla_cond`` (BASELINE.md r3s5: banded_mxu
+        36.7 vs shielded convs 42.0 ms/clip on the kernels themselves, but
+        the operand transposes give it back at inference; under autodiff
+        the conv path pays the unshielded emitter instead — train_bench.py
+        measures the split)."""
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
         tffn, gelu = self.twins_ffn_fused, self.ffn_gelu
@@ -186,7 +196,13 @@ class StreamFlowConfig:
             if gelu == "auto":
                 gelu = "poly" if on_tpu else "erf"
         if dw == "auto":
-            dw = "xla_cond" if corr == "pallas" else "xla"
+            if training and corr == "pallas":
+                import jax
+
+                dw = ("banded_mxu" if jax.default_backend() == "tpu"
+                      else "xla")
+            else:
+                dw = "xla_cond" if corr == "pallas" else "xla"
         if (corr, dw, attn, lga, tffn, gelu) == (
                 self.corr_impl, self.dw_impl, self.attn_impl, self.lga_impl,
                 self.twins_ffn_fused, self.ffn_gelu):

@@ -112,10 +112,22 @@ def lga_xla(x, wqkv, bqkv, wproj, bproj, *, ws: int, nh: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _lga_fused(x, wqkv, bqkv, wproj, bproj, ws, nh):
-    """Fused Pallas forward; backward recomputes through lga_xla."""
+    """Hybrid fused forward: the qkv/proj Dense matmuls stay in XLA (they
+    are MXU-shaped and fuse with the surrounding LayerNorms); the window
+    partition + per-head softmax attention runs as the head-major Pallas
+    kernel (ops/pallas/_lga_kernel.py). Backward recomputes through
+    lga_xla. Numerics identical to lga_xla on TPU (same dots, same f32
+    softmax; the partition commutes with the pointwise Dense)."""
     from streamflow_tpu.ops.pallas._lga_kernel import lga_attention
 
-    return lga_attention(x, wqkv, bqkv, wproj, bproj, ws=ws, nh=nh)
+    dt = x.dtype
+    qkv = jax.lax.dot_general(
+        x, wqkv.astype(dt), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bqkv.astype(dt)
+    out = lga_attention(qkv, ws=ws, nh=nh)
+    return jax.lax.dot_general(
+        out, wproj.astype(dt), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bproj.astype(dt)
 
 
 def _lga_fwd(x, wqkv, bqkv, wproj, bproj, ws, nh):
@@ -135,9 +147,10 @@ class LocallyGroupedAttn(nn.Module):
     """Windowed MHA over non-overlapping ws x ws groups (timm
     LocallyGroupedAttn). Zero-pads the grid to window multiples.
 
-    ``impl='pallas'`` runs the fused kernel (window partition + qkv +
-    softmax + proj in one VMEM pass, ops/pallas/_lga_kernel.py); 'xla' is
-    the composite. Parameters are identical either way."""
+    ``impl='pallas'`` runs the hybrid head-major kernel (XLA qkv/proj
+    around the fused window-partition + per-head attention,
+    ops/pallas/_lga_kernel.py); 'xla' is the composite. Parameters are
+    identical either way."""
 
     dim: int
     num_heads: int

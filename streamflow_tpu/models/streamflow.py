@@ -136,9 +136,13 @@ class _RefinementStep(nn.Module):
             temporal_zero_init=cfg.update_block != "sk_tam_v3_noinit",
             dw_impl=cfg.dw_impl if cfg.dw_impl != "auto" else "xla",
             ffn_gelu=_gelu_of(cfg),
-            # no lane-padding under autodiff: the padded depthwise weight
-            # grad trips an XLA TPU miscompile (see SKUpdateBlockTAMv3.align)
-            align=not self.train,
+            # Lane-padding under autodiff only for dot-only dw paths: the
+            # XLA TPU miscompile is in the padded depthwise CONV weight
+            # grad (see SKUpdateBlockTAMv3.align); the banded family
+            # differentiates through dots, so it keeps whole-lane tiles
+            # (and its Pallas kernels require them) in training too.
+            align=(not self.train
+                   or cfg.dw_impl.startswith("banded")),
             dtype=self.dtype,
             name="update_block",
         )(net, inp, corr, flow, attn,
@@ -171,7 +175,7 @@ class StreamFlow(nn.Module):
     @nn.compact
     def __call__(self, images, iters: Optional[int] = None, flow_init=None,
                  test_mode: bool = False, train: bool = False):
-        cfg = self.cfg.resolve()
+        cfg = self.cfg.resolve(training=train)
         iters = cfg.iters if iters is None else iters
         dtype = jnp.bfloat16 if cfg.mixed_precision else None
         b, t, hh, ww, _ = images.shape

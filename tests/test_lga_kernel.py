@@ -25,12 +25,15 @@ def _weights(rng, c, dtype=jnp.float32):
     ((1, 10, 15, 128), 4, 5),
 ])
 def test_lga_kernel_matches_xla(shape, nh, ws):
+    """Head-major attention kernel (v2, hybrid: qkv/proj stay XLA) vs the
+    composite, interpret mode."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     wqkv, bqkv, wproj, bproj = _weights(rng, shape[-1])
     ref = lga_xla(x, wqkv, bqkv, wproj, bproj, ws=ws, nh=nh)
-    out = lga_attention(x, wqkv, bqkv, wproj, bproj, ws=ws, nh=nh,
-                        interpret=True)
+    qkv = jnp.einsum("bhwc,cd->bhwd", x, wqkv) + bqkv
+    out = lga_attention(qkv, ws=ws, nh=nh, interpret=True)
+    out = jnp.einsum("bhwc,cd->bhwd", out, wproj) + bproj
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
 
