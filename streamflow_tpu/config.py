@@ -94,6 +94,14 @@ class StreamFlowConfig:
     # natively-oriented (Q,C)@(C,Wp) matmuls; one extra build-time
     # transpose per level, outside the refinement loop).
     lookup_f2_major: str = "w"
+    # Row-loop policy of the fused lookup kernel: 'dynamic' bounds each
+    # query block's volume recompute to its coords' y-range (narrow for
+    # converged flows — 0.42 ms/iter measured at ±3 px); 'full' statically
+    # loops every level row, which Mosaic pipelines (0.875 ms/iter always —
+    # wins when flows are wildly scattered, e.g. random-weight benchmarks:
+    # in-model dynamic degrades to ~1.85 ms/iter there). r5s2,
+    # tools/probe_lookup.py.
+    lookup_rows: str = "dynamic"
     # Force the Twins global-subsample attention through the Pallas flash
     # kernel (O(n) memory, exact math) even below the 16k-token auto
     # threshold where it engages regardless.
@@ -181,9 +189,7 @@ class StreamFlowConfig:
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
         tffn, gelu = self.twins_ffn_fused, self.ffn_gelu
-        if lga == "auto":
-            lga = "xla"  # fused LGA is opt-in until measured on hardware
-        if "auto" in (corr, attn, gelu) or tffn is None:
+        if "auto" in (corr, attn, gelu, lga) or tffn is None:
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
@@ -191,6 +197,10 @@ class StreamFlowConfig:
                 corr = "pallas" if on_tpu else "xla"
             if attn == "auto":
                 attn = "flash" if on_tpu else "full"
+            if lga == "auto":
+                # head-major v2 kernel: 121.5 vs 128.9 ms/clip at 436x1024
+                # (r5s2 sweep)
+                lga = "pallas" if on_tpu else "xla"
             if tffn is None:
                 tffn = on_tpu
             if gelu == "auto":

@@ -205,7 +205,8 @@ class StreamFlow(nn.Module):
                                        cfg.corr_radius,
                                        block_q=cfg.lookup_block_q,
                                        unroll=cfg.lookup_unroll,
-                                       f2_major=cfg.lookup_f2_major)
+                                       f2_major=cfg.lookup_f2_major,
+                                       rows=cfg.lookup_rows)
         elif cfg.corr_impl == "chunked":
             from streamflow_tpu.ops.corr import ChunkedCorr
 

@@ -64,7 +64,8 @@ def _wp_of(wl: int, r: int) -> int:
 
 
 def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
-                  scale: float, unroll: int = UNROLL, f2_major: str = "w"):
+                  scale: float, unroll: int = UNROLL, f2_major: str = "w",
+                  rows: str = "dynamic"):
     UNROLL = unroll
     n_levels = len(meta)
     f2_refs = refs[:n_levels]
@@ -104,9 +105,20 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
         s = x0 - r + PAD_L                           # window origin, >= 0
         gidx = s + j_of                              # (Q, 128) tap lanes
 
-        hmin = jnp.maximum(jnp.min(y0) - r, 0)
-        hmax = jnp.minimum(jnp.max(y0) + r + 2, hl)
-        steps = (hmax - hmin + UNROLL - 1) // UNROLL
+        if rows == "full":
+            # static whole-level loop: every plane is computed, but the
+            # static trip count lets Mosaic pipeline the slab reads and
+            # matmuls (measured r5s2, tools/probe_lookup.py: 0.875 ms/call
+            # static-full vs 1.85 in-model dynamic when the query blocks'
+            # row ranges are wide, vs 0.42 dynamic when they are the ±few-px
+            # ranges of a converged flow). 'dynamic' is the production
+            # default; 'full' wins when flows are wildly scattered.
+            hmin, hmax = 0, hl
+            steps = (hl + UNROLL - 1) // UNROLL
+        else:
+            hmin = jnp.maximum(jnp.min(y0) - r, 0)
+            hmax = jnp.minimum(jnp.max(y0) + r + 2, hl)
+            steps = (hmax - hmin + UNROLL - 1) // UNROLL
 
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
@@ -152,7 +164,11 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
                 acc_ref[...] = acc_ref[...] + jnp.where(d == i_of, win, 0.0)
             return 0
 
-        jax.lax.fori_loop(0, steps, body, 0)
+        if rows == "full":
+            for st in range(steps):
+                body(st, 0)
+        else:
+            jax.lax.fori_loop(0, steps, body, 0)
 
         # bilerp + repack, once per level. y: rows i and i+1 sit 1 lane
         # apart inside a slot group (i+1 <= k stays in-group for every slot
@@ -226,17 +242,19 @@ def unprepare_inputs(f1p, f2p, meta, h, w, f2_major: str = "w"):
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "radius", "out_dtype", "block_q", "interpret",
-                     "unroll", "f2_major"))
+                     "unroll", "f2_major", "rows"))
 def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
                                out_dtype=None, block_q: int = 512,
                                interpret: bool = False,
-                               unroll: int = UNROLL, f2_major: str = "w"):
+                               unroll: int = UNROLL, f2_major: str = "w",
+                               rows: str = "dynamic"):
     """Lookup against operands pre-padded by :func:`prepare_inputs` — the
     per-iteration work is only the (B, N, 2L) index/frac computation plus the
     kernel itself. coords (B,H,W,2) level-0 pixel xy. Returns
     (B,H,W,L*(2r+1)^2), channels level-major then x-major windows (reference
     layout)."""
     assert f2_major in ("w", "c"), f"f2_major must be 'w' or 'c', got {f2_major!r}"
+    assert rows in ("dynamic", "full"), rows
     UNROLL = unroll
     b, h, w, _ = coords.shape
     c = f1p.shape[-1]
@@ -277,7 +295,8 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     grid = (b, n_tot // block_q)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, meta=tuple(meta), radius=r,
-                          scale=scale, unroll=UNROLL, f2_major=f2_major),
+                          scale=scale, unroll=UNROLL, f2_major=f2_major,
+                          rows=rows),
         out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels * 128), out_dtype),
         grid=grid,
         in_specs=[
@@ -313,11 +332,11 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "out_dtype", "block_q", "interpret", "unroll",
-                     "f2_major"))
+                     "f2_major", "rows"))
 def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
                       out_dtype=None, block_q: int = 512,
                       interpret: bool = False, unroll: int = UNROLL,
-                      f2_major: str = "w"):
+                      f2_major: str = "w", rows: str = "dynamic"):
     """One-shot convenience wrapper: prepare + lookup in one call (pads the
     invariant operands every time — inside a refinement loop use
     :func:`prepare_inputs` once and :func:`fused_corr_lookup_prepared` per
@@ -327,7 +346,7 @@ def fused_corr_lookup(fmap1, f2_levels, coords, radius: int = 4,
     return fused_corr_lookup_prepared(
         f1p, f2p, coords, meta, radius=radius, out_dtype=out_dtype,
         block_q=block_q, interpret=interpret, unroll=unroll,
-        f2_major=f2_major)
+        f2_major=f2_major, rows=rows)
 
 
 def pool_pyramid(fmap2, num_levels: int = 4):

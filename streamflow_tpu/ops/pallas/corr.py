@@ -62,9 +62,9 @@ def _xla_equiv_prepared(f1p, f2p, coords, meta, radius, f2_major="w"):
     return _xla_equiv(fmap1, f2_levels, coords, radius)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
-                  unroll, f2_major):
+                  unroll, f2_major, rows):
     """Lookup on prepare_inputs-padded operands (differentiable)."""
     if jax.default_backend() == "tpu":
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
@@ -79,18 +79,19 @@ def _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
         return fused_corr_lookup_prepared(f1p, tuple(f2p), coords, meta,
                                           radius=radius, out_dtype=out_dtype,
                                           block_q=block_q, unroll=unroll,
-                                          f2_major=f2_major)
+                                          f2_major=f2_major, rows=rows)
     out = _xla_equiv_prepared(f1p, f2p, coords, meta, radius, f2_major)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _fused_fwd(f1p, f2p, coords, meta, radius, out_dtype, block_q, unroll,
-               f2_major):
-    return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype,
-                         block_q, unroll, f2_major), (f1p, f2p, coords)
+               f2_major, rows):
+    return _fused_lookup(f1p, f2p, coords, meta, radius, out_dtype, block_q,
+                         unroll, f2_major, rows), (f1p, f2p, coords)
 
 
-def _fused_bwd(meta, radius, out_dtype, block_q, unroll, f2_major, res, g):
+def _fused_bwd(meta, radius, out_dtype, block_q, unroll, f2_major, rows,
+               res, g):
     import jax.numpy as jnp
 
     f1p, f2p, coords = res
@@ -114,10 +115,16 @@ class PallasCorr:
     # 'w': levels stored (B, Hl+U-1, Wp, C); 'c': C-major (B, Hl+U-1, C, Wp)
     # so the kernel's per-row volume matmul is natively oriented.
     f2_major: str = flax.struct.field(pytree_node=False, default="w")
+    # 'dynamic': per-block row range from the query coords (production
+    # default — converged flows give narrow ranges); 'full': static
+    # whole-level loop (pipelineable; wins when flows are wildly scattered,
+    # see _fused_lookup_kernel.py).
+    rows: str = flax.struct.field(pytree_node=False, default="dynamic")
 
     @classmethod
     def build(cls, fmap1, fmap2, num_levels: int = 4, radius: int = 4,
-              block_q: int = 512, unroll: int = 4, f2_major: str = "w"):
+              block_q: int = 512, unroll: int = 4, f2_major: str = "w",
+              rows: str = "dynamic"):
         from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
             pool_pyramid,
             prepare_inputs,
@@ -127,12 +134,13 @@ class PallasCorr:
             fmap1, tuple(pool_pyramid(fmap2, num_levels)), radius,
             block_q=block_q, unroll=unroll, f2_major=f2_major)
         return cls(f1p=f1p, f2p=f2p, meta=meta, radius=radius,
-                   block_q=block_q, unroll=unroll, f2_major=f2_major)
+                   block_q=block_q, unroll=unroll, f2_major=f2_major,
+                   rows=rows)
 
     def lookup(self, coords, out_dtype=None):
         out = _fused_lookup(self.f1p, self.f2p, coords, self.meta,
                             self.radius, out_dtype, self.block_q,
-                            self.unroll, self.f2_major)
+                            self.unroll, self.f2_major, self.rows)
         # The Mosaic custom-call pins default layouts on its operands and
         # results; without a barrier XLA propagates that layout pressure
         # through the scan body and drops the spatially-tiled convolution

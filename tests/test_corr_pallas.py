@@ -19,8 +19,9 @@ from streamflow_tpu.ops.pallas._fused_lookup_kernel import (
 RNG = np.random.default_rng(0)
 
 
+@pytest.mark.parametrize("rows", ["dynamic", "full"])
 @pytest.mark.parametrize("disp_scale", [0.0, 3.0, 50.0])
-def test_fused_lookup_matches_xla(disp_scale):
+def test_fused_lookup_matches_xla(disp_scale, rows):
     B, H, W, C = 2, 16, 24, 32
     f1 = jnp.asarray(RNG.standard_normal((B, H, W, C)), jnp.float32)
     f2 = jnp.asarray(RNG.standard_normal((B, H, W, C)), jnp.float32)
@@ -31,7 +32,7 @@ def test_fused_lookup_matches_xla(disp_scale):
     want = np.asarray(corr_lookup(f1, f2, coords))
     got = np.asarray(fused_corr_lookup(
         f1, tuple(pool_pyramid(f2, 4)), coords, radius=4, block_q=128,
-        interpret=True))
+        interpret=True, rows=rows))
     assert got.shape == want.shape == (B, H, W, 324)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 

@@ -41,9 +41,12 @@ _KEYMAP = {
     "bq": "lookup_block_q",
     "lu": "lookup_unroll",
     "lmaj": "lookup_f2_major",
+    "lrows": "lookup_rows",
     "gelu": "ffn_gelu",
+    "B": "B",  # batch size (clips per step) — not a config field
 }
-_INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q", "lookup_unroll"}
+_INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q", "lookup_unroll",
+             "B"}
 _BOOL_KEYS = {"twins_ffn_fused"}
 
 
@@ -79,9 +82,10 @@ def main():
     from streamflow_tpu.models import create_model
     from streamflow_tpu.ops.padding import InputPadder
 
-    B, T, H, W = 1, 4, 436, 1024
+    T, H, W = 4, 436, 1024
+    B_MAX = 8
     rng = np.random.default_rng(0)
-    imgs_np = rng.integers(0, 255, (B, T, H, W, 3))
+    imgs_np = rng.integers(0, 255, (B_MAX, T, H, W, 3))
     padder = InputPadder((H, W, 3), mode="sintel")
 
     n_rep = int(os.environ.get("SWEEP_NREP", "10"))
@@ -103,10 +107,11 @@ def main():
     for spec in specs:
         over = parse_spec(spec)
         t = over.pop("T", T)
+        B = over.pop("B", 1)
         cfg = dataclasses.replace(
             StreamFlowConfig(T=t, iters=12, mixed_precision=True), **over
         ).resolve()
-        imgs = jnp.asarray(imgs_np[:, :t], dtype=jnp.float32)
+        imgs = jnp.asarray(imgs_np[:B, :t], dtype=jnp.float32)
         imgs = padder.pad(imgs.reshape(B * t, H, W, 3)).reshape(
             B, t, *padder.padded_shape, 3
         )
