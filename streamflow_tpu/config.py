@@ -174,18 +174,17 @@ class StreamFlowConfig:
         portable XLA forms. Parameter layout is identical across all
         resolutions, so checkpoints are backend-portable.
 
-        ``training=True`` (the model passes its ``train`` flag) splits the
-        dw resolution: the TPU TRAINING default is ``banded_mxu`` — the
-        per-channel banded-matmul Pallas kernel whose gradients are dots
-        only (no conv-weight-grad HLO, so the lane-padded ``align`` path
-        stays on under autodiff — the XLA TPU miscompile it trips is
-        specific to padded depthwise conv weight grads — and no
-        data-dependent lax.cond shield sits inside the differentiated
-        loop). Inference keeps ``xla_cond`` (BASELINE.md r3s5: banded_mxu
-        36.7 vs shielded convs 42.0 ms/clip on the kernels themselves, but
-        the operand transposes give it back at inference; under autodiff
-        the conv path pays the unshielded emitter instead — train_bench.py
-        measures the split)."""
+        ``training=True`` (the model passes its ``train`` flag) exists so
+        the train-time kernel set can diverge from inference. Measured on
+        v5e (r5s2, tools/train_bench.py — 432x960, T=4, 12 iters, B=1,
+        bf16+remat, full fwd+bwd+AdamW): ``xla_cond`` 747 ms/step,
+        ``xla`` 783, ``banded_mxu`` 20519 (the r3s5 "training candidate"
+        hypothesis is refuted — its custom-VJP recompute through the
+        k-redundant XLA banded composite, re-run once more per iteration
+        by remat, is catastrophic under autodiff). Training therefore
+        resolves dw to the same ``xla_cond`` as inference; the cond
+        shield survives differentiation and still beats the bare
+        emitter."""
         corr, dw, attn, lga = (self.corr_impl, self.dw_impl, self.attn_impl,
                                self.lga_impl)
         tffn, gelu = self.twins_ffn_fused, self.ffn_gelu
@@ -206,13 +205,8 @@ class StreamFlowConfig:
             if gelu == "auto":
                 gelu = "poly" if on_tpu else "erf"
         if dw == "auto":
-            if training and corr == "pallas":
-                import jax
-
-                dw = ("banded_mxu" if jax.default_backend() == "tpu"
-                      else "xla")
-            else:
-                dw = "xla_cond" if corr == "pallas" else "xla"
+            # same resolution for train and eval — measured, see docstring
+            dw = "xla_cond" if corr == "pallas" else "xla"
         if (corr, dw, attn, lga, tffn, gelu) == (
                 self.corr_impl, self.dw_impl, self.attn_impl, self.lga_impl,
                 self.twins_ffn_fused, self.ffn_gelu):

@@ -44,10 +44,12 @@ _KEYMAP = {
     "lrows": "lookup_rows",
     "gelu": "ffn_gelu",
     "B": "B",  # batch size (clips per step) — not a config field
+    "remat": "remat",
+    "bidir": "bidir",  # train_bench only: bidirectional supervision
 }
 _INT_KEYS = {"scan_unroll", "iters", "T", "lookup_block_q", "lookup_unroll",
              "B"}
-_BOOL_KEYS = {"twins_ffn_fused"}
+_BOOL_KEYS = {"twins_ffn_fused", "remat", "bidir"}
 
 
 def parse_spec(spec: str):

@@ -67,13 +67,21 @@ def main():
     from streamflow_tpu.training.step import make_train_step
 
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(rng.integers(0, 255, (B, T, H, W, 3)),
-                              dtype=jnp.float32),
-        "flows": jnp.asarray(
-            rng.standard_normal((B, T - 1, H, W, 2)) * 4.0, dtype=jnp.float32),
-        "valids": jnp.ones((B, T - 1, H, W), jnp.float32),
-    }
+
+    def make_batch(nb, bidir):
+        b = {
+            "images": jnp.asarray(rng.integers(0, 255, (nb, T, H, W, 3)),
+                                  dtype=jnp.float32),
+            "flows": jnp.asarray(rng.standard_normal((nb, T - 1, H, W, 2))
+                                 * 4.0, dtype=jnp.float32),
+            "valids": jnp.ones((nb, T - 1, H, W), jnp.float32),
+        }
+        if bidir:
+            b["flows_bw"] = jnp.asarray(
+                rng.standard_normal((nb, T - 1, H, W, 2)) * 4.0,
+                dtype=jnp.float32)
+            b["valids_bw"] = jnp.ones((nb, T - 1, H, W), jnp.float32)
+        return b
 
     out_path = Path("/tmp/train_bench_results.txt")
     print(f"train_bench: {B}x{T}x{H}x{W}, iters={iters}, {steps} steps, "
@@ -81,25 +89,29 @@ def main():
 
     for spec in specs:
         over = parse_spec(spec)
+        bidir = over.pop("bidir", False)
+        nb = over.pop("B", B)
         # Training defaults: bf16 + remat, sequential scan (the unrolled
         # scan multiplies bwd activation memory), canonical iter count.
         kw = dict(T=T, iters=iters, mixed_precision=True, remat=True,
                   scan_unroll=1)
         kw.update(over)
         cfg = StreamFlowConfig(**kw)
+        batch_s = make_batch(nb, bidir)
         model = create_model("streamflow", cfg=cfg)
         tx = make_optimizer(lr=2.5e-4, num_steps=max(steps, 100))
 
         t0 = time.perf_counter()
         params = jax.jit(lambda k, x: model.init(k, x, iters=1))(
-            jax.random.PRNGKey(0), batch["images"][:, :, :64, :96])
+            jax.random.PRNGKey(0), batch_s["images"][:, :, :64, :96])
         # init at a small spatial size (params are shape-independent),
         # then the real-step compile below is the number that matters
         state = TrainState.create(params, tx)
-        step = jax.jit(make_train_step(model, tx, gamma=0.85, iters=iters),
+        step = jax.jit(make_train_step(model, tx, gamma=0.85, iters=iters,
+                                       bidirectional=bidir),
                        donate_argnums=(0,))
         try:
-            state, metrics = step(state, batch)
+            state, metrics = step(state, batch_s)
             jax.block_until_ready(metrics["loss"])
         except Exception as e:
             line = f"  {spec:24s} FAILED compile/first-step: {type(e).__name__}: {e}"
@@ -114,18 +126,18 @@ def main():
         t0 = time.perf_counter()
         for _ in range(steps):
             eps = metrics["loss"] * 1e-12
-            b2 = dict(batch, images=batch["images"] + eps)
+            b2 = dict(batch_s, images=batch_s["images"] + eps)
             state, metrics = step(state, b2)
         loss = float(metrics["loss"])
         total = time.perf_counter() - t0
         sps = steps / total
         line = (f"  {spec:24s} {1e3 * total / steps:9.1f} ms/step "
-                f"({sps:5.3f} steps/s, {B * sps:6.3f} clips/s) "
+                f"({sps:5.3f} steps/s, {nb * sps:6.3f} clips/s) "
                 f"compile+first {t_compile:6.1f}s  loss={loss:.3f} "
                 f"grad_norm={float(metrics['grad_norm']):.3f}")
         print(line, flush=True)
         with out_path.open("a") as f:
-            f.write(f"{B}x{T}x{H}x{W} it{iters} {line}\n")
+            f.write(f"{nb}x{T}x{H}x{W} it{iters} {line}\n")
         assert np.isfinite(loss), f"non-finite loss for {spec}"
 
 
