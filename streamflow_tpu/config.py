@@ -87,7 +87,12 @@ class StreamFlowConfig:
     lookup_block_q: int = 512
     # Volume planes per loop step inside the fused lookup kernel (a bigger
     # slab halves the dynamic-trip loop overhead; costs VMEM + edge rows).
-    lookup_unroll: int = 4
+    # Default 2: unroll 4 and 1 hit a Mosaic codegen fault (TPU worker
+    # crash) at specific level-shape sets — e.g. the Spring 1080p pyramid
+    # (135,240)+(67,120) — while 2 passes every crashing variant and is
+    # perf-neutral and bit-identical at benchmark resolution (r5s3,
+    # tools/probe_1080p_fault.py + sweep: 121.3 vs 121.5 ms/clip).
+    lookup_unroll: int = 2
     # Storage layout of the prepared fmap2 pyramid levels for the fused
     # lookup kernel: 'w' = (Hl, Wp, C) (C minor — the kernel's volume matmul
     # contracts a transposed RHS); 'c' = (Hl, C, Wp) (C-major — per-row

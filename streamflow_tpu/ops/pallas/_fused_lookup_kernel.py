@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +50,14 @@ PAD_L = 16  # zero columns left of every f2 level: the clamped window
             # origin s = x0 - r + PAD_L must stay >= 0 for x0 >= -(r+3)
             # (Mosaic's lane gather wraps negative indices, it does not
             # clamp like XLA gather - found by the on-device parity diff)
-UNROLL = 4  # default volume planes per loop step (one MXU matmul feeds U
+UNROLL = 2  # default volume planes per loop step (one MXU matmul feeds U
             # extractions); overridable per call — a bigger slab halves the
             # dynamic-trip fori overhead at the cost of VMEM and wasted
-            # edge rows
+            # edge rows. 2 (not 4): U=4 and U=1 trip a Mosaic codegen fault
+            # (TPU worker crash) at specific level-shape sets, e.g. the
+            # Spring 1080p pyramid (135,240)+(67,120); U=2 passes every
+            # crashing variant and is perf-neutral at benchmark resolution
+            # (r5s3, tools/probe_1080p_fault.py)
 
 
 def _wp_of(wl: int, r: int) -> int:
@@ -63,9 +68,9 @@ def _wp_of(wl: int, r: int) -> int:
     return -(-need // 128) * 128
 
 
-def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
-                  scale: float, unroll: int = UNROLL, f2_major: str = "w",
-                  rows: str = "dynamic"):
+def _fused_kernel(rows_ref, idx_ref, frac_ref, f1_ref, *refs, meta,
+                  radius: int, scale: float, unroll: int = UNROLL,
+                  f2_major: str = "w", rows: str = "dynamic"):
     UNROLL = unroll
     n_levels = len(meta)
     f2_refs = refs[:n_levels]
@@ -105,20 +110,27 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
         s = x0 - r + PAD_L                           # window origin, >= 0
         gidx = s + j_of                              # (Q, 128) tap lanes
 
-        if rows == "full":
-            # static whole-level loop: every plane is computed, but the
-            # static trip count lets Mosaic pipeline the slab reads and
-            # matmuls (measured r5s2, tools/probe_lookup.py: 0.875 ms/call
-            # static-full vs 1.85 in-model dynamic when the query blocks'
-            # row ranges are wide, vs 0.42 dynamic when they are the ±few-px
-            # ranges of a converged flow). 'dynamic' is the production
-            # default; 'full' wins when flows are wildly scattered.
+        if rows in ("full", "static"):
+            # whole-level loop with a STATIC trip count: every plane is
+            # computed. 'full' Python-unrolls the steps (pipelines best,
+            # but the unrolled temporaries blow VMEM on tall levels);
+            # 'static' keeps the fori_loop with constant bounds — the safe
+            # mode for shapes where the data-dependent trip count hits the
+            # Mosaic runtime fault (see below), at full-level compute cost.
             hmin, hmax = 0, hl
             steps = (hl + UNROLL - 1) // UNROLL
         else:
-            hmin = jnp.maximum(jnp.min(y0) - r, 0)
-            hmax = jnp.minimum(jnp.max(y0) + r + 2, hl)
-            steps = (hmax - hmin + UNROLL - 1) // UNROLL
+            # Per-block row range from SMEM scalar prefetch, computed on
+            # the XLA side. The previous formulation reduced y0 in VMEM
+            # (jnp.min/max) and fed the scalar into the fori_loop trip
+            # count; that vector->scalar->trip chain hit a Mosaic codegen
+            # fault (TPU worker crash) at specific level-shape sets, e.g.
+            # the Spring 1080p pyramid — r5s3, tools/probe_1080p_fault.py.
+            # SMEM scalars are the scalar core's native home for
+            # data-dependent loop bounds.
+            bi, qi = pl.program_id(0), pl.program_id(1)
+            hmin = rows_ref[bi, qi, 2 * l]
+            steps = rows_ref[bi, qi, 2 * l + 1]
 
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
@@ -168,6 +180,7 @@ def _fused_kernel(idx_ref, frac_ref, f1_ref, *refs, meta, radius: int,
             for st in range(steps):
                 body(st, 0)
         else:
+            # 'static': constant bounds; 'dynamic': SMEM-prefetched bounds
             jax.lax.fori_loop(0, steps, body, 0)
 
         # bilerp + repack, once per level. y: rows i and i+1 sit 1 lane
@@ -254,7 +267,7 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     (B,H,W,L*(2r+1)^2), channels level-major then x-major windows (reference
     layout)."""
     assert f2_major in ("w", "c"), f"f2_major must be 'w' or 'c', got {f2_major!r}"
-    assert rows in ("dynamic", "full"), rows
+    assert rows in ("dynamic", "full", "static"), rows
     UNROLL = unroll
     b, h, w, _ = coords.shape
     c = f1p.shape[-1]
@@ -293,37 +306,63 @@ def fused_corr_lookup_prepared(f1p, f2p, coords, meta, radius: int = 4,
     f1 = f1p
 
     grid = (b, n_tot // block_q)
+    nb = n_tot // block_q
+
+    # Per-(batch, query-block, level) dynamic row ranges, computed HERE (in
+    # XLA) and handed to the kernel as SMEM scalar prefetch — the kernel's
+    # fori_loop trip counts must not come from in-kernel VMEM reductions
+    # (Mosaic codegen fault; see _fused_kernel).
+    y0b = idx.reshape(b, nb, block_q, 2 * n_levels)
+    row_cols = []
+    for l, (hl, wl) in enumerate(meta):
+        y0l = y0b[..., 2 * l]                        # (b, nb) int32 slices
+        hmin = jnp.maximum(jnp.min(y0l, axis=2) - r, 0)
+        hmax = jnp.minimum(jnp.max(y0l, axis=2) + r + 2, hl)
+        steps = jnp.maximum(hmax - hmin + UNROLL - 1, 0) // UNROLL
+        row_cols += [hmin, steps]
+    row_bounds = jnp.stack(row_cols, axis=-1).astype(jnp.int32)  # (b, nb, 2L)
+
     out = pl.pallas_call(
         functools.partial(_fused_kernel, meta=tuple(meta), radius=r,
                           scale=scale, unroll=UNROLL, f2_major=f2_major,
                           rows=rows),
         out_shape=jax.ShapeDtypeStruct((b, n_tot, n_levels * 128), out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, 2 * n_levels), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, block_q, 2 * n_levels), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
-        ] + [
-            pl.BlockSpec(((1, hl + UNROLL - 1, c, _wp_of(wl, r))
-                          if f2_major == "c"
-                          else (1, hl + UNROLL - 1, _wp_of(wl, r), c)),
-                         lambda bi, qi: (bi, 0, 0, 0))
-            for (hl, wl) in meta
-        ],
-        out_specs=pl.BlockSpec((1, block_q, n_levels * 128),
-                               lambda bi, qi: (bi, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, 2 * n_levels),
+                             lambda bi, qi, sref: (bi, qi, 0)),
+                pl.BlockSpec((1, block_q, 2 * n_levels),
+                             lambda bi, qi, sref: (bi, qi, 0)),
+                pl.BlockSpec((1, block_q, c), lambda bi, qi, sref: (bi, qi, 0)),
+            ] + [
+                pl.BlockSpec(((1, hl + UNROLL - 1, c, _wp_of(wl, r))
+                              if f2_major == "c"
+                              else (1, hl + UNROLL - 1, _wp_of(wl, r), c)),
+                             lambda bi, qi, sref: (bi, 0, 0, 0))
+                for (hl, wl) in meta
+            ],
+            out_specs=pl.BlockSpec((1, block_q, n_levels * 128),
+                                   lambda bi, qi, sref: (bi, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # debug env overrides (SF_LOOKUP_SEM / SF_LOOKUP_VMEM_MB) exist
+            # for the worker-crash stress harness, tools/probe_1080p_fault.py
+            dimension_semantics=tuple(
+                os.environ.get("SF_LOOKUP_SEM", "arbitrary,arbitrary")
+                .split(",")),
             # whole-f2-level residency: the 1440x2560 level-0 block alone is
             # ~34 MB bf16; the default 16 MB scoped limit is far below the
             # physical VMEM
-            vmem_limit_bytes=112 * 2 ** 20,
+            vmem_limit_bytes=int(
+                os.environ.get("SF_LOOKUP_VMEM_MB", "112")) * 2 ** 20,
         ),
         interpret=interpret,
-    )(idx, frac, f1, *f2p)
+    )(row_bounds, idx, frac, f1, *f2p)
 
     out = out[:, :n].reshape(b, h, w, n_levels, 128)[..., :k * k]
     return out.reshape(b, h, w, n_levels * k * k)
